@@ -1,0 +1,166 @@
+"""EVA ViT-g/14 vision encoder, TPU-native.
+
+Re-designs the reference's EVA ViT (ref
+``graphs/models/minigpt4/models/eva_vit.py:425-438``: img_size=448,
+patch=14, embed_dim=1408, depth=39, heads=16, mlp_ratio=4.3637, qkv_bias)
+as a functional JAX model:
+
+- patch embedding is an unfold + matmul (identical math to the reference's
+  Conv2d(3, D, 14, stride 14), but expressed as one big MXU matmul);
+- BEiT-style attention: packed biasless qkv kernel with separate q/v bias
+  vectors and an implicit zero k bias (the torch layout the eva_vit_g.pth
+  checkpoint stores);
+- pre-norm blocks, exact-GELU MLP, no final norm (the reference's
+  ``use_mean_pooling=False`` path returns the raw token sequence and the
+  caller applies its own ``ln_vision``, ref minigpt4.py:121-149);
+- one ``lax.scan`` over 39 stacked layers;
+- drop-path/stochastic-depth is omitted: the encoder is frozen in every
+  supported config, so the train-time-only regularizer is dead weight.
+
+The forward returns the full 1025-token sequence ([cls] + 32x32 patches at
+448px) like the reference (``eva_vit.py:359-362``, head removed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from certifiedgpt_tpu.models import layers as L
+from certifiedgpt_tpu.ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class EvaViTConfig:
+    img_size: int = 448
+    patch_size: int = 14
+    in_channels: int = 3
+    embed_dim: int = 1408
+    depth: int = 39
+    num_heads: int = 16
+    mlp_hidden: int = 6144  # round(1408 * 4.3637)
+    layer_norm_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # +cls
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @staticmethod
+    def eva_vit_g() -> "EvaViTConfig":
+        return EvaViTConfig()
+
+    @staticmethod
+    def tiny(**overrides) -> "EvaViTConfig":
+        base = dict(
+            img_size=28,
+            patch_size=14,
+            embed_dim=32,
+            depth=2,
+            num_heads=4,
+            mlp_hidden=64,
+            dtype=jnp.float32,
+        )
+        base.update(overrides)
+        return EvaViTConfig(**base)
+
+
+def _init_layer(key, cfg: EvaViTConfig) -> Dict[str, Any]:
+    keys = jax.random.split(key, 4)
+    d = cfg.embed_dim
+    return {
+        "norm1": L.init_layer_norm(d, cfg.dtype),
+        "qkv": L.init_dense(keys[0], d, 3 * d, use_bias=False, dtype=cfg.dtype),
+        "q_bias": jnp.zeros((d,), cfg.dtype),
+        "v_bias": jnp.zeros((d,), cfg.dtype),
+        "proj": L.init_dense(keys[1], d, d, dtype=cfg.dtype),
+        "norm2": L.init_layer_norm(d, cfg.dtype),
+        "fc1": L.init_dense(keys[2], d, cfg.mlp_hidden, dtype=cfg.dtype),
+        "fc2": L.init_dense(keys[3], cfg.mlp_hidden, d, dtype=cfg.dtype),
+    }
+
+
+def init_eva_vit(key, cfg: EvaViTConfig) -> Dict[str, Any]:
+    k_patch, k_cls, k_pos, k_layers = jax.random.split(key, 4)
+    patch_in = cfg.in_channels * cfg.patch_size * cfg.patch_size
+    layer_keys = jax.random.split(k_layers, cfg.depth)
+    per_layer = [_init_layer(k, cfg) for k in layer_keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *per_layer)
+    return {
+        "patch_embed": L.init_dense(k_patch, patch_in, cfg.embed_dim, dtype=cfg.dtype),
+        "cls_token": L.trunc_normal(k_cls, (1, 1, cfg.embed_dim), dtype=cfg.dtype),
+        "pos_embed": L.trunc_normal(
+            k_pos, (1, cfg.seq_len, cfg.embed_dim), dtype=cfg.dtype
+        ),
+        "layers": stacked,
+    }
+
+
+def patchify(images: jnp.ndarray, cfg: EvaViTConfig) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, num_patches, C*P*P] in torch-conv (C, ph, pw) order.
+
+    The flatten order matches Conv2d weight layout [D, C, P, P] so that a
+    converted conv kernel reproduces the reference patch embedding exactly.
+    """
+    b, h, w, c = images.shape
+    p, g = cfg.patch_size, cfg.grid
+    x = images.reshape(b, g, p, g, p, c)
+    # -> [B, gh, gw, C, ph, pw]
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, g * g, c * p * p)
+
+
+def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.ndarray:
+    b, s, d = x.shape
+    h, dh = cfg.num_heads, cfg.head_dim
+
+    hidden = L.layer_norm(lp["norm1"], x, cfg.layer_norm_eps)
+    qkv = L.dense(lp["qkv"], hidden)  # biasless [B, S, 3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q + lp["q_bias"].astype(q.dtype)
+    v = v + lp["v_bias"].astype(v.dtype)  # k bias is identically zero
+    q = q.reshape(b, s, h, dh)
+    k = k.reshape(b, s, h, dh)
+    v = v.reshape(b, s, h, dh)
+    attn = multi_head_attention(q, k, v)
+    x = x + L.dense(lp["proj"], attn.reshape(b, s, d))
+
+    hidden = L.layer_norm(lp["norm2"], x, cfg.layer_norm_eps)
+    hidden = L.dense(lp["fc2"], L.gelu(L.dense(lp["fc1"], hidden)))
+    return x + hidden
+
+
+def eva_vit_apply(
+    params: Dict[str, Any], cfg: EvaViTConfig, images: jnp.ndarray
+) -> jnp.ndarray:
+    """images [B, H, W, C] (already normalized) -> tokens [B, 1+N, D]."""
+    x = patchify(images.astype(cfg.dtype), cfg)
+    x = L.dense(params["patch_embed"], x)  # [B, N, D]
+    b = x.shape[0]
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(x.dtype), (b, 1, cfg.embed_dim)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(x.dtype)
+
+    def step(carry, lp):
+        return _vit_block(carry, lp, cfg), None
+
+    x, _ = lax.scan(step, x, params["layers"])
+    return x

@@ -1,0 +1,67 @@
+"""Attention compute ops.
+
+One entry point, ``multi_head_attention``, used by every model in the
+framework (EVA ViT, Q-Former self/cross attention, LLaMA decoder). The
+default path is plain jnp einsum + fp32 softmax — XLA fuses this well on
+TPU and tiles the matmuls onto the MXU. A Pallas flash-attention path can
+be slotted in behind the same signature for long sequences (the vision
+tower's 1025-token sequence is the main candidate).
+
+Shapes follow the [batch, seq, heads, head_dim] convention.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def multi_head_attention(
+    q: jnp.ndarray,  # [B, Sq, H, Dh]
+    k: jnp.ndarray,  # [B, Sk, H_kv, Dh]
+    v: jnp.ndarray,  # [B, Sk, H_kv, Dh]
+    mask: Optional[jnp.ndarray] = None,  # broadcastable to [B, H, Sq, Sk]; True=keep
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention with fp32 softmax.
+
+    Supports grouped-query attention: when ``H_kv < H`` the key/value heads
+    are repeated to match. Returns [B, Sq, H, Dh] in q's dtype.
+    """
+    h_q, h_kv = q.shape[2], k.shape[2]
+    if h_kv != h_q:
+        rep = h_q // h_kv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    # [B, H, Sq, Sk], accumulate in fp32 on the MXU.
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * jnp.float32(scale)
+
+    if mask is not None:
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(mask, logits, neg)
+
+    weights = jnp.exp(
+        logits - lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    )
+    if mask is not None:
+        weights = jnp.where(mask, weights, 0.0)
+    weights = weights / jnp.maximum(
+        jnp.sum(weights, axis=-1, keepdims=True), jnp.finfo(jnp.float32).tiny
+    )
+
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd",
+        weights.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)

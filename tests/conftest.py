@@ -2,13 +2,17 @@
 
 Multi-device sharding is validated without TPU hardware by running JAX on
 the host platform with 8 virtual devices — the TPU-native answer to
-"test multi-core without a cluster" (SURVEY.md §4). The env vars must be
-set before the first ``import jax`` anywhere in the test process.
+"test multi-core without a cluster" (SURVEY.md §4).
+
+Note: this image's sitecustomize registers a TPU (axon) PJRT plugin at
+interpreter start and forces ``jax_platforms`` via jax.config, so plain
+``JAX_PLATFORMS=cpu`` env vars are ignored; the config must be updated
+in-process before the first backend initialization. XLA_FLAGS is still
+honored lazily because the CPU client initializes on first use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +20,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,161 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from certifiedgpt_tpu.models.llama import (
+    IGNORE_INDEX,
+    LlamaConfig,
+    cross_entropy_loss,
+    embed_tokens,
+    init_kv_cache,
+    init_llama,
+    llama_apply,
+)
+from certifiedgpt_tpu.models.convert import convert_llama_state_dict
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = LlamaConfig.tiny()
+    params = init_llama(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_forward_shapes(tiny):
+    cfg, params = tiny
+    b, s = 2, 10
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0, cfg.vocab_size)
+    x = embed_tokens(params, ids)
+    mask = jnp.ones((b, s), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    logits, hidden, cache = llama_apply(params, cfg, x, mask, pos)
+    assert logits.shape == (b, s, cfg.vocab_size)
+    assert hidden.shape == (b, s, cfg.hidden_size)
+    assert cache is None
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_causality(tiny):
+    """Changing a later token must not change earlier logits."""
+    cfg, params = tiny
+    b, s = 1, 8
+    ids = jax.random.randint(jax.random.PRNGKey(2), (b, s), 0, cfg.vocab_size)
+    ids2 = ids.at[0, -1].set((ids[0, -1] + 1) % cfg.vocab_size)
+    mask = jnp.ones((b, s), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    l1, _, _ = llama_apply(params, cfg, embed_tokens(params, ids), mask, pos)
+    l2, _, _ = llama_apply(params, cfg, embed_tokens(params, ids2), mask, pos)
+    np.testing.assert_allclose(l1[:, :-1], l2[:, :-1], atol=1e-5)
+    assert not np.allclose(l1[:, -1], l2[:, -1])
+
+
+def test_kv_cache_matches_full_forward(tiny):
+    """Prefill + per-token decode through the cache must equal one full pass."""
+    cfg, params = tiny
+    b, s, max_len = 2, 9, 16
+    prefill = 5
+    ids = jax.random.randint(jax.random.PRNGKey(3), (b, s), 0, cfg.vocab_size)
+    x = embed_tokens(params, ids)
+    full_mask = jnp.ones((b, s), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    ref_logits, _, _ = llama_apply(params, cfg, x, full_mask, pos)
+
+    cache = init_kv_cache(cfg, b, max_len)
+    cache_mask = (jnp.arange(max_len) < s)[None].astype(jnp.int32)
+    cache_mask = jnp.broadcast_to(cache_mask, (b, max_len))
+
+    # prefill
+    logits_p, _, cache = llama_apply(
+        params,
+        cfg,
+        x[:, :prefill],
+        cache_mask,
+        pos[:, :prefill],
+        kv_cache=cache,
+        cache_offset=jnp.int32(0),
+    )
+    np.testing.assert_allclose(logits_p, ref_logits[:, :prefill], atol=2e-4)
+
+    # decode one token at a time
+    for t in range(prefill, s):
+        logits_t, _, cache = llama_apply(
+            params,
+            cfg,
+            x[:, t : t + 1],
+            cache_mask,
+            pos[:, t : t + 1],
+            kv_cache=cache,
+            cache_offset=jnp.int32(t),
+        )
+        np.testing.assert_allclose(
+            logits_t[:, 0], ref_logits[:, t], atol=2e-4
+        )
+
+
+def test_cross_entropy_label_smoothing_matches_torch(tiny):
+    torch = pytest.importorskip("torch")
+    cfg, _ = tiny
+    b, s, v = 3, 7, cfg.vocab_size
+    rng = np.random.RandomState(0)
+    logits = rng.randn(b, s, v).astype(np.float32)
+    labels = rng.randint(0, v, (b, s))
+    labels[:, :3] = IGNORE_INDEX  # mask prompt region
+
+    ours = cross_entropy_loss(
+        jnp.asarray(logits), jnp.asarray(labels), label_smoothing=0.1
+    )
+
+    tl = torch.tensor(logits)[:, :-1].reshape(-1, v)
+    tt = torch.tensor(labels)[:, 1:].reshape(-1)
+    ref = torch.nn.functional.cross_entropy(
+        tl, tt, ignore_index=IGNORE_INDEX, label_smoothing=0.1
+    )
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_parity_with_hf_llama():
+    """Converted weights reproduce HF LlamaForCausalLM logits."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM
+
+    hf_cfg = HFConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        max_position_embeddings=64,
+        dtype=jnp.float32,
+    )
+    params = convert_llama_state_dict(hf.state_dict(), cfg)
+
+    b, s = 2, 11
+    rng = np.random.RandomState(1)
+    ids = rng.randint(0, 128, (b, s))
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).logits.numpy()
+
+    x = embed_tokens(params, jnp.asarray(ids))
+    mask = jnp.ones((b, s), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    ours, _, _ = llama_apply(params, cfg, x, mask, pos)
+
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-3)
