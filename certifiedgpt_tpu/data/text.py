@@ -1,0 +1,202 @@
+"""Host-side tokenization and fixed-shape multimodal batch assembly.
+
+The reference assembles mixed text/image embedding sequences on device in
+a per-sample Python loop (ref ``minigpt_base.py:91-203``). Here, all
+variable-length work happens on host in numpy, and the device sees only
+fixed-shape arrays:
+
+- ``build_train_batch``: right-padded ``[bos, before, IMG*T, after,
+  answer, eos]`` with -100 labels outside the answer span (ref
+  ``minigpt_base.py:254-318`` semantics).
+- ``build_gen_batch``: left-padded prompts so greedy decode starts at one
+  static offset for the whole batch (ref ``minigpt_base.py:401-412``).
+
+The image span is marked by ``img_pos`` (start slot per sample); its slots
+hold pad ids and are replaced by the 32 projected query embeddings on
+device (``models/minigpt4.assemble_embeds``).
+
+Tokenizers: ``HFTokenizer`` wraps a HuggingFace fast tokenizer (Vicuna
+checkpoints; pad token "$$" like ref ``base_model.py:191``); ``ByteTokenizer``
+is a dependency-free byte-level tokenizer used by tests and toy configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+IMAGE_PLACEHOLDER = "<ImageHere>"
+IGNORE_INDEX = -100
+
+
+class ByteTokenizer:
+    """Byte-level tokenizer: id = byte + 4; specials pad=0 bos=1 eos=2 unk=3."""
+
+    pad_token_id = 0
+    bos_token_id = 1
+    eos_token_id = 2
+    unk_token_id = 3
+    vocab_size = 260
+
+    def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
+        ids = [b + 4 for b in text.encode("utf-8")]
+        if add_special_tokens:
+            ids = [self.bos_token_id] + ids
+        return ids
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        data = bytes(i - 4 for i in ids if i >= 4)
+        return data.decode("utf-8", errors="replace")
+
+
+class HFTokenizer:
+    """Thin wrapper over a HuggingFace tokenizer with LLaMA conventions."""
+
+    def __init__(self, name_or_path: str):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(name_or_path, use_fast=True)
+        if self.tok.pad_token is None:
+            # ref base_model.py:191 sets pad_token="$$"
+            self.tok.pad_token = "$$"
+
+    @property
+    def pad_token_id(self) -> int:
+        return self.tok.pad_token_id
+
+    @property
+    def bos_token_id(self) -> int:
+        return self.tok.bos_token_id
+
+    @property
+    def eos_token_id(self) -> int:
+        return self.tok.eos_token_id
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.tok)
+
+    def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
+        return self.tok.encode(text, add_special_tokens=add_special_tokens)
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        return self.tok.decode(ids, skip_special_tokens=skip_special_tokens)
+
+
+def _split_instruction(
+    tokenizer, instruction: str
+) -> Tuple[List[int], List[int]]:
+    """Tokenize around the ``<ImageHere>`` placeholder."""
+    if IMAGE_PLACEHOLDER in instruction:
+        before, after = instruction.split(IMAGE_PLACEHOLDER, 1)
+    else:
+        before, after = "", instruction
+    return tokenizer.encode(before), tokenizer.encode(after)
+
+
+@dataclasses.dataclass
+class BatchSpec:
+    seq_len: int
+    num_img_tokens: int
+    max_answer_len: int = 160  # ref max_txt_len
+
+
+def build_train_batch(
+    tokenizer,
+    instructions: Sequence[str],
+    answers: Sequence[str],
+    spec: BatchSpec,
+) -> Dict[str, np.ndarray]:
+    """Right-padded training batch with -100-masked labels."""
+    b = len(instructions)
+    s = spec.seq_len
+    input_ids = np.full((b, s), tokenizer.pad_token_id, np.int32)
+    labels = np.full((b, s), IGNORE_INDEX, np.int32)
+    attention_mask = np.zeros((b, s), np.int32)
+    img_pos = np.zeros((b,), np.int32)
+
+    for i, (inst, ans) in enumerate(zip(instructions, answers)):
+        before, after = _split_instruction(tokenizer, inst)
+        ans_ids = tokenizer.encode(ans)[: spec.max_answer_len - 1]
+        prompt = (
+            [tokenizer.bos_token_id]
+            + before
+            + [tokenizer.pad_token_id] * spec.num_img_tokens
+            + after
+        )
+        full = prompt + ans_ids + [tokenizer.eos_token_id]
+        if len(full) > s:
+            # keep the answer; truncate the text after the image span
+            overflow = len(full) - s
+            keep_after = max(len(after) - overflow, 0)
+            after = after[:keep_after]
+            prompt = (
+                [tokenizer.bos_token_id]
+                + before
+                + [tokenizer.pad_token_id] * spec.num_img_tokens
+                + after
+            )
+            full = (prompt + ans_ids + [tokenizer.eos_token_id])[:s]
+        n = len(full)
+        input_ids[i, :n] = full
+        attention_mask[i, :n] = 1
+        ans_start = min(len(prompt), s)
+        labels[i, ans_start:n] = full[ans_start:n]
+        img_pos[i] = 1 + len(before)
+
+    return {
+        "input_ids": input_ids,
+        "attention_mask": attention_mask,
+        "labels": labels,
+        "img_pos": img_pos,
+    }
+
+
+def build_gen_batch(
+    tokenizer,
+    instructions: Sequence[str],
+    spec: BatchSpec,
+) -> Dict[str, np.ndarray]:
+    """Left-padded generation batch (no answers)."""
+    b = len(instructions)
+    s = spec.seq_len
+    input_ids = np.full((b, s), tokenizer.pad_token_id, np.int32)
+    attention_mask = np.zeros((b, s), np.int32)
+    img_pos = np.zeros((b,), np.int32)
+
+    for i, inst in enumerate(instructions):
+        before, after = _split_instruction(tokenizer, inst)
+        prompt = (
+            [tokenizer.bos_token_id]
+            + before
+            + [tokenizer.pad_token_id] * spec.num_img_tokens
+            + after
+        )
+        if len(prompt) > s:
+            after = after[: max(s - 1 - len(before) - spec.num_img_tokens, 0)]
+            prompt = (
+                [tokenizer.bos_token_id]
+                + before
+                + [tokenizer.pad_token_id] * spec.num_img_tokens
+                + after
+            )
+        pad = s - len(prompt)
+        input_ids[i, pad:] = prompt
+        attention_mask[i, pad:] = 1
+        img_pos[i] = pad + 1 + len(before)
+
+    return {
+        "input_ids": input_ids,
+        "attention_mask": attention_mask,
+        "img_pos": img_pos,
+    }
+
+
+def clean_answer(text: str) -> str:
+    """Decode-side cleanup (ref eval agent ``:102`` and
+    ``minigpt_base.py:438-447``): strip special markers and whitespace."""
+    for marker in ("</s>", "<s>", "[/INST]", "<unk>"):
+        text = text.replace(marker, "")
+    return text.strip().lower()

@@ -1,0 +1,248 @@
+"""MiniGPT-4 multimodal assembly, TPU-native.
+
+The reference's MiniGPT-4 (ref ``graphs/models/minigpt4/models/minigpt4.py``
+and ``minigpt_base.py``) glues EVA ViT -> ln_vision -> Q-Former ->
+llama_proj -> Vicuna. Its prompt assembly walks samples in a Python loop
+with ``.item()`` syncs (ref ``minigpt_base.py:145-203``) — a host/device
+ping-pong XLA cannot compile. This re-design keeps the math and changes
+the data contract to fixed shapes:
+
+- The host-side collator (``certifiedgpt_tpu/data/text.py``) emits
+  ``input_ids [B,S]``, ``attention_mask [B,S]``, ``labels [B,S]`` and
+  ``img_pos [B]`` — the position where each sample's 32 image-query
+  embeddings belong (their slots hold pad ids in ``input_ids``).
+- On device, text embeddings are computed for the whole batch and the
+  image embeddings are scattered in with one vmapped
+  ``lax.dynamic_update_slice`` — no per-sample concat, no dynamic shapes.
+- Training uses right-padding; generation uses left-padding so that every
+  sample's prompt ends at the same offset and greedy decode proceeds from
+  one static cache position (the fixed-shape equivalent of the
+  reference's left-pad batching, ref ``minigpt_base.py:401-412``).
+
+Component layout of the parameter pytree:
+``{"vit", "ln_vision", "qformer", "llama_proj", "llama"}`` — ``llama_proj``
+is the only trainable leaf in the default config, matching the reference
+(ref ``minigpt4.py:76-78``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from certifiedgpt_tpu.models import layers as L
+from certifiedgpt_tpu.models.eva_vit import EvaViTConfig, eva_vit_apply, init_eva_vit
+from certifiedgpt_tpu.models.llama import (
+    LlamaConfig,
+    cross_entropy_loss,
+    embed_tokens,
+    init_kv_cache,
+    init_llama,
+    llama_apply,
+)
+from certifiedgpt_tpu.models.qformer import QFormerConfig, init_qformer, qformer_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class MiniGPT4Config:
+    vit: EvaViTConfig = dataclasses.field(default_factory=EvaViTConfig.eva_vit_g)
+    qformer: QFormerConfig = dataclasses.field(default_factory=QFormerConfig.blip2)
+    llama: LlamaConfig = dataclasses.field(default_factory=LlamaConfig)
+    max_txt_len: int = 160  # answer-token budget (ref config max_txt_len)
+    max_context_len: int = 3800  # ref minigpt_base.py:36
+    label_smoothing: float = 0.1
+
+    @staticmethod
+    def tiny(**overrides) -> "MiniGPT4Config":
+        vit = EvaViTConfig.tiny()
+        base = dict(
+            vit=vit,
+            qformer=QFormerConfig.tiny(encoder_width=vit.embed_dim),
+            llama=LlamaConfig.tiny(),
+            max_txt_len=16,
+            max_context_len=128,
+        )
+        base.update(overrides)
+        return MiniGPT4Config(**base)
+
+    @property
+    def num_img_tokens(self) -> int:
+        return self.qformer.num_query_tokens
+
+
+def init_minigpt4(key, cfg: MiniGPT4Config) -> Dict[str, Any]:
+    k_vit, k_q, k_l, k_proj = jax.random.split(key, 4)
+    return {
+        "vit": init_eva_vit(k_vit, cfg.vit),
+        "ln_vision": L.init_layer_norm(cfg.vit.embed_dim, cfg.vit.dtype),
+        "qformer": init_qformer(k_q, cfg.qformer),
+        # the projection trains, keep it fp32 (optimizer-friendly); it is
+        # cast to the LLaMA activation dtype on use.
+        "llama_proj": L.init_dense(
+            k_proj, cfg.qformer.hidden_size, cfg.llama.hidden_size, dtype=jnp.float32
+        ),
+        "llama": init_llama(k_l, cfg.llama),
+    }
+
+
+TRAINABLE_DEFAULT = ("llama_proj",)
+
+
+def split_params(
+    params: Dict[str, Any], trainable_keys: Tuple[str, ...] = TRAINABLE_DEFAULT
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Partition the pytree into (trainable, frozen) by top-level key."""
+    trainable = {k: v for k, v in params.items() if k in trainable_keys}
+    frozen = {k: v for k, v in params.items() if k not in trainable_keys}
+    return trainable, frozen
+
+
+def merge_params(trainable: Dict[str, Any], frozen: Dict[str, Any]) -> Dict[str, Any]:
+    return {**frozen, **trainable}
+
+
+# ----------------------------------------------------------------------
+# vision path
+# ----------------------------------------------------------------------
+def encode_img(
+    params: Dict[str, Any], cfg: MiniGPT4Config, images: jnp.ndarray
+) -> jnp.ndarray:
+    """images [B, H, W, C] -> projected image tokens [B, 32, llama_hidden].
+
+    ViT -> ln_vision -> Q-Former queries -> llama_proj
+    (ref ``minigpt4.py:121-149``).
+    """
+    feats = eva_vit_apply(params["vit"], cfg.vit, images)
+    feats = L.layer_norm(params["ln_vision"], feats)
+    queries = qformer_apply(params["qformer"], cfg.qformer, feats)
+    out = L.dense(params["llama_proj"], queries.astype(jnp.float32))
+    return out.astype(cfg.llama.dtype)
+
+
+# ----------------------------------------------------------------------
+# multimodal embedding assembly (fixed shape)
+# ----------------------------------------------------------------------
+def assemble_embeds(
+    params: Dict[str, Any],
+    cfg: MiniGPT4Config,
+    input_ids: jnp.ndarray,  # [B, S]
+    img_embeds: jnp.ndarray,  # [B, T_img, D]
+    img_pos: jnp.ndarray,  # [B] int32 — start slot of the image span
+) -> jnp.ndarray:
+    text_embeds = embed_tokens(params["llama"], input_ids)
+
+    def put(row_embeds, row_img, pos):
+        return lax.dynamic_update_slice(row_embeds, row_img, (pos, 0))
+
+    return jax.vmap(put)(text_embeds, img_embeds.astype(text_embeds.dtype), img_pos)
+
+
+# ----------------------------------------------------------------------
+# training forward
+# ----------------------------------------------------------------------
+def minigpt4_loss(
+    params: Dict[str, Any],
+    cfg: MiniGPT4Config,
+    batch: Dict[str, jnp.ndarray],
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """CE loss on answer tokens (ref ``minigpt_base.py:320-365`` semantics:
+    label-smoothed CE, -100 masking outside the answer span).
+
+    batch keys: image [B,H,W,C], input_ids [B,S], attention_mask [B,S],
+    labels [B,S], img_pos [B].
+    """
+    img_embeds = encode_img(params, cfg, batch["image"])
+    embeds = assemble_embeds(params, cfg, batch["input_ids"], img_embeds, batch["img_pos"])
+    positions = jnp.broadcast_to(
+        jnp.arange(embeds.shape[1]), embeds.shape[:2]
+    ).astype(jnp.int32)
+    logits, _, _ = llama_apply(
+        params["llama"], cfg.llama, embeds, batch["attention_mask"], positions
+    )
+    return cross_entropy_loss(
+        logits, batch["labels"], cfg.label_smoothing, reduction=reduction
+    )
+
+
+# ----------------------------------------------------------------------
+# greedy generation (fixed-shape lax.scan decode)
+# ----------------------------------------------------------------------
+def generate_greedy(
+    params: Dict[str, Any],
+    cfg: MiniGPT4Config,
+    batch: Dict[str, jnp.ndarray],
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int = 0,
+) -> jnp.ndarray:
+    """Batched greedy decode with a KV cache.
+
+    ``batch`` carries a *left-padded* prompt (image [B,H,W,C],
+    input_ids [B,S], attention_mask [B,S], img_pos [B]), so every sample's
+    last prompt token sits at slot S-1 and decoding proceeds from a single
+    static cache offset — the jit-able equivalent of HF ``generate`` with
+    left padding (ref ``minigpt_base.py:407-427``).
+
+    Returns generated token ids [B, max_new_tokens]; positions after a
+    sample's EOS are filled with ``pad_token_id``.
+    """
+    img_embeds = encode_img(params, cfg, batch["image"])
+    embeds = assemble_embeds(params, cfg, batch["input_ids"], img_embeds, batch["img_pos"])
+    b, s, _ = embeds.shape
+    total = s + max_new_tokens
+    mask = batch["attention_mask"].astype(jnp.int32)
+
+    # rotary positions: left pads get position 0, real tokens count up.
+    prompt_positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0).astype(jnp.int32)
+    prompt_len = jnp.sum(mask, axis=1).astype(jnp.int32)  # per-sample true length
+
+    cache = init_kv_cache(cfg.llama, b, total)
+    # validity over cache slots: prompt part follows the prompt mask; the
+    # decode part becomes valid as tokens are emitted (monotonic, so mark
+    # all future decode slots valid — causal masking hides unwritten ones).
+    cache_mask = jnp.concatenate(
+        [mask, jnp.ones((b, max_new_tokens), jnp.int32)], axis=1
+    )
+
+    logits, _, cache = llama_apply(
+        params["llama"],
+        cfg.llama,
+        embeds,
+        cache_mask,
+        prompt_positions,
+        kv_cache=cache,
+        cache_offset=jnp.int32(0),
+    )
+    next_token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    def step(carry, t):
+        cache, token, positions, done = carry
+        tok_embed = embed_tokens(params["llama"], token[:, None])
+        logits, _, cache = llama_apply(
+            params["llama"],
+            cfg.llama,
+            tok_embed,
+            cache_mask,
+            positions[:, None],
+            kv_cache=cache,
+            cache_offset=s + t,
+        )
+        new_token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        out_token = jnp.where(done, pad_token_id, token)
+        done = done | (token == eos_token_id)
+        new_token = jnp.where(done, eos_token_id, new_token)
+        return (cache, new_token, positions + 1, done), out_token
+
+    positions0 = prompt_len  # next rotary position per sample
+    done0 = jnp.zeros((b,), jnp.bool_)
+    (_, _, _, _), tokens = lax.scan(
+        step,
+        (cache, next_token, positions0, done0),
+        jnp.arange(max_new_tokens),
+    )
+    return tokens.T  # [B, max_new_tokens]
