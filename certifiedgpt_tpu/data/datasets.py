@@ -1,0 +1,253 @@
+"""Datasets (host-side, numpy).
+
+Re-implementations of the reference's dataset classes
+(ref ``datasets/datasets/``): VQAv2 train/eval/test and CC-SBU caption
+alignment. Host code stays plain Python/numpy — no torch Dataset — and the
+collater emits fixed-shape numpy batches ready for ``jax.device_put``.
+
+Behavioral parity notes:
+- VQAv2 joins annotations to questions by ``question_id`` and reads COCO
+  images as ``COCO_{split}2014_{image_id:012d}.jpg``
+  (ref ``vqav2_dataset.py:104``).
+- Train answers use confidence-weighted sampling (yes=2 / maybe=1 / no=0,
+  normalized; ref ``vqav2_dataset.py:115-141``), with a seeded
+  ``numpy.random.Generator`` instead of Python's global ``random``.
+- Instruction templates match the reference pool
+  (ref ``vqav2_dataset.py:38-41,155-166``).
+- The eval dataset is the fix-forward of the reference's missing
+  ``evalvqav2`` path: deterministic, keeps all ground-truth answers for
+  the official scorer.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from certifiedgpt_tpu.common.logging import get_logger
+
+INSTRUCTION_TEMPLATES = [
+    "[vqa] {}",
+    "[vqa] Based on the image, respond to this question with a short answer: {}",
+]
+INSTRUCTION_WRAPPER = "<Img><ImageHere></Img> {} "
+TEST_INSTRUCTION = (
+    "[vqa] Based on the image, respond to this question with a short answer: {}"
+)
+
+
+def _load_json_list(paths: Sequence[str], key: str) -> List[dict]:
+    items: List[dict] = []
+    for path in paths:
+        with open(path, "r") as handle:
+            data = json.load(handle)
+        if isinstance(data, dict):
+            items.extend(data.get(key, []))
+        elif isinstance(data, list):
+            items.extend(data)
+    return items
+
+
+class BaseDataset:
+    def __init__(
+        self,
+        vis_processor=None,
+        text_processor=None,
+        questions_paths: Sequence[str] = (),
+        vis_paths: Optional[str] = None,
+        annotation_paths: Sequence[str] = (),
+        split: str = "train",
+    ):
+        self.vis_processor = vis_processor
+        self.text_processor = text_processor
+        self.vis_paths = vis_paths
+        self.split = split
+        self.questions = _load_json_list(questions_paths, "questions")
+        self.annotations = _load_json_list(annotation_paths, "annotations")
+        self.logger = get_logger()
+
+    def __len__(self) -> int:
+        return len(self.annotations)
+
+    def set_processor(self, vis_processor, text_processor) -> None:
+        self.vis_processor = vis_processor
+        self.text_processor = text_processor
+
+    def collater(self, samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+        """Stack array fields; keep text fields as lists."""
+        out: Dict[str, Any] = {}
+        for key in samples[0]:
+            vals = [s[key] for s in samples]
+            if isinstance(vals[0], np.ndarray):
+                out[key] = np.stack(vals, axis=0)
+            elif isinstance(vals[0], (int, np.integer)):
+                out[key] = np.asarray(vals, np.int64)
+            else:
+                out[key] = vals
+        return out
+
+    @property
+    def split_name(self) -> str:
+        return self.split
+
+
+class VQAv2Dataset(BaseDataset):
+    """Train-split VQAv2 with confidence-weighted answer sampling."""
+
+    def __init__(self, *args, seed: int = 0, coco_year: str = "2014", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.coco_year = coco_year
+        self.rng = np.random.default_rng(seed)
+        questions_dict = {q["question_id"]: q for q in self.questions}
+        # keep only annotations whose question exists (join by question_id,
+        # ref vqav2_dataset.py:43-77)
+        self.annotations = [
+            a for a in self.annotations if a.get("question_id") in questions_dict
+        ]
+        self.questions_dict = questions_dict
+
+    def _image_path(self, image_id: int) -> str:
+        file_name = f"COCO_{self.split}{self.coco_year}_{image_id:012d}.jpg"
+        return os.path.join(self.vis_paths, file_name)
+
+    def _load_image(self, image_id: int) -> np.ndarray:
+        image = Image.open(self._image_path(image_id)).convert("RGB")
+        return self.vis_processor(image)
+
+    def sample_answer(self, annotation: dict) -> str:
+        weights: Dict[str, float] = collections.defaultdict(float)
+        for ans in annotation.get("answers", []):
+            text = ans.get("answer")
+            if not text:
+                continue
+            conf = ans.get("answer_confidence")
+            weights[text] += 2.0 if conf == "yes" else 1.0 if conf == "maybe" else 0.0
+        if not weights:
+            # all answers had zero confidence; fall back to uniform
+            texts = [a["answer"] for a in annotation.get("answers", []) if a.get("answer")]
+            if not texts:
+                raise ValueError(
+                    f"No answers for question_id {annotation.get('question_id')}"
+                )
+            return str(self.rng.choice(texts))
+        answers = list(weights.keys())
+        probs = np.asarray(list(weights.values()), np.float64)
+        probs = probs / probs.sum()
+        return str(self.rng.choice(answers, p=probs))
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        annotation = self.annotations[index]
+        question_id = annotation["question_id"]
+        question = self.questions_dict[question_id]["question"]
+        image = self._load_image(annotation["image_id"])
+        answer = self.sample_answer(annotation)
+        if self.text_processor is not None:
+            answer = self.text_processor(answer)
+        template = INSTRUCTION_TEMPLATES[
+            int(self.rng.integers(len(INSTRUCTION_TEMPLATES)))
+        ]
+        instruction = INSTRUCTION_WRAPPER.format(template.format(question))
+        return {
+            "image": image.astype(np.float32),
+            "question_id": question_id,
+            "instruction_input": instruction,
+            "answer": answer,
+        }
+
+
+class VQAv2EvalDataset(VQAv2Dataset):
+    """Deterministic eval split: fixed instruction, ground truth retained.
+
+    This implements the ``evalvqav2`` capability the reference configures
+    but never ships (its builder is commented out,
+    ref ``image_text_pair_builder.py:25-96``).
+    """
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        annotation = self.annotations[index]
+        question_id = annotation["question_id"]
+        question = self.questions_dict[question_id]["question"]
+        image = self._load_image(annotation["image_id"])
+        instruction = INSTRUCTION_WRAPPER.format(TEST_INSTRUCTION.format(question))
+        answers = [a.get("answer", "") for a in annotation.get("answers", [])]
+        return {
+            "image": image.astype(np.float32),
+            "question_id": question_id,
+            "instruction_input": instruction,
+            "gt_answers": answers,
+            "question": question,
+        }
+
+
+class VQAv2TestDataset(BaseDataset):
+    """Question-only test split (COCO test2015 filenames,
+    ref ``vqav2_dataset.py:173-215``)."""
+
+    def __init__(self, *args, coco_year: str = "2015", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.coco_year = coco_year
+
+    def __len__(self) -> int:
+        return len(self.questions)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        q = self.questions[index]
+        file_name = f"COCO_{self.split}{self.coco_year}_{q['image_id']:012d}.jpg"
+        image = Image.open(os.path.join(self.vis_paths, file_name)).convert("RGB")
+        image = self.vis_processor(image)
+        instruction = INSTRUCTION_WRAPPER.format(
+            TEST_INSTRUCTION.format(q["question"])
+        )
+        return {
+            "image": image.astype(np.float32),
+            "question_id": q["question_id"],
+            "instruction_input": instruction,
+        }
+
+
+class CCSbuAlignDataset(BaseDataset):
+    """Caption-alignment dataset: ``{image_id}.jpg`` + ``filter_cap.json``
+    (ref ``cc_sbu_align_dataset.py:7-62``)."""
+
+    PROMPT = "<Img><ImageHere></Img> Describe this image in detail."
+
+    def __init__(
+        self,
+        vis_processor=None,
+        text_processor=None,
+        vis_paths: Optional[str] = None,
+        annotation_paths: Sequence[str] = (),
+        split: str = "train",
+    ):
+        super().__init__(
+            vis_processor=vis_processor,
+            text_processor=text_processor,
+            vis_paths=vis_paths,
+            split=split,
+        )
+        anns: List[dict] = []
+        for path in annotation_paths:
+            with open(path, "r") as handle:
+                anns.extend(json.load(handle).get("annotations", []))
+        self.annotations = anns
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        ann = self.annotations[index]
+        image = Image.open(
+            os.path.join(self.vis_paths, f"{ann['image_id']}.jpg")
+        ).convert("RGB")
+        image = self.vis_processor(image)
+        caption = ann["caption"]
+        if self.text_processor is not None:
+            caption = self.text_processor(caption)
+        return {
+            "image": image.astype(np.float32),
+            "instruction_input": self.PROMPT,
+            "answer": caption,
+            "question_id": index,
+        }

@@ -1,0 +1,122 @@
+"""Host->device data loading.
+
+Replaces the reference's ``DistributedSampler`` + ``DataLoader`` +
+``pl.MpDeviceLoader`` stack (ref ``minigpt4_finetune_agent.py:291-335``)
+with the single-controller JAX pattern: one host process iterates the
+dataset, collates fixed-shape numpy batches on a background prefetch
+thread, and ``shard_batch`` lays each batch out over the ``data`` axis of
+the device mesh with a ``NamedSharding`` — the XLA partitioner then keeps
+every per-device shard local, reproducing per-core data parallelism
+without per-process samplers.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class Loader:
+    """Shuffling, batching, drop_last, background prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _index_order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _batches(self) -> Iterator[Dict[str, Any]]:
+        order = self._index_order()
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(idx) == 0:
+                continue
+            if len(idx) < self.batch_size and self.drop_last:
+                continue
+            samples = [self.dataset[int(i)] for i in idx]
+            yield self.dataset.collater(samples)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: list = []
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as exc:  # surfaced on the consumer side
+                error.append(exc)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+        if error:
+            raise error[0]
+
+
+def shard_batch(
+    batch: Dict[str, Any],
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
+) -> Dict[str, Any]:
+    """Device-put array fields, sharding the batch dim over ``data_axis``.
+
+    Non-array fields (strings, lists) pass through untouched for the
+    host-side parts of eval/certify loops.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out: Dict[str, Any] = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray) and value.dtype != object:
+            if mesh is None:
+                out[key] = jax.numpy.asarray(value)
+            else:
+                spec = P(data_axis, *([None] * (value.ndim - 1)))
+                out[key] = jax.device_put(value, NamedSharding(mesh, spec))
+        else:
+            out[key] = value
+    return out
