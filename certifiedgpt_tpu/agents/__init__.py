@@ -1,0 +1,1 @@
+from certifiedgpt_tpu.agents.base import BaseAgent, setup_agent  # noqa: F401

@@ -1,0 +1,139 @@
+"""Base agent: config/model/mesh ownership, checkpoint + history plumbing.
+
+Parity with the reference ``BaseAgent`` (ref ``agents/base.py:22-335``):
+owns the model/optimizer/scheduler/checkpoint lifecycle, loss-history
+JSON + matplotlib plot, and master-only logging. TPU-native differences:
+a single controller process owns a device mesh (no per-core processes,
+no rendezvous barriers — SPMD collectives are compiled in), and
+checkpoints are npz pytrees instead of ``.pth``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from certifiedgpt_tpu.common.checkpoint import load_checkpoint, save_checkpoint
+from certifiedgpt_tpu.common.logging import get_logger
+from certifiedgpt_tpu.common.registry import registry
+from certifiedgpt_tpu.optim import build_lr_schedule, make_optimizer
+from certifiedgpt_tpu.parallel.mesh import make_mesh
+
+
+class BaseAgent:
+    def __init__(self, config):
+        self.config = config
+        self.run_cfg = config.run
+        self.logger = get_logger()
+        self.output_dir = str(self.run_cfg.get("output_dir", "output"))
+        os.makedirs(self.output_dir, exist_ok=True)
+
+        n_model = int(self.run_cfg.get("model_parallel", 1))
+        self.mesh = make_mesh(n_model=n_model)
+
+        self.model = self.build_model()
+        self.loss_history: Dict[str, list] = {"train": [], "val": []}
+
+    # ------------------------------------------------------------------
+    def build_model(self):
+        model_cls = registry.get_model_class(self.config.arch)
+        if model_cls is None:
+            raise KeyError(f"Unknown model arch '{self.config.arch}'")
+        return model_cls.from_config(self.config.model)
+
+    def build_optimizer(self, schedule=None):
+        run = self.run_cfg
+        schedule = schedule if schedule is not None else build_lr_schedule(run)
+        self.lr_schedule = schedule
+        return make_optimizer(
+            schedule,
+            weight_decay=float(run.get("weight_decay", 0.05)),
+            beta1=float(run.get("beta1", 0.9)),
+            beta2=float(run.get("beta2", 0.999)),
+            accumulate_steps=int(run.get("accumulated_gradients", 1)),
+            max_grad_norm=run.get("max_grad_norm"),
+        )
+
+    # ------------------------------------------------------------------
+    # checkpoints (trainable-only, like ref base.py:424-433)
+    # ------------------------------------------------------------------
+    def checkpoint_path(self, name: str) -> str:
+        return os.path.join(self.output_dir, f"{name}.npz")
+
+    def save_agent_checkpoint(
+        self, name: str, trainable, opt_state=None, **metadata
+    ) -> str:
+        path = self.checkpoint_path(name)
+        save_checkpoint(path, trainable, opt_state, metadata)
+        self.logger.info("Saved checkpoint %s", path)
+        return path
+
+    def load_agent_checkpoint(
+        self, name_or_path: str, trainable_template, opt_state_template=None
+    ):
+        path = (
+            name_or_path
+            if os.path.exists(name_or_path)
+            else self.checkpoint_path(name_or_path)
+        )
+        return load_checkpoint(path, trainable_template, opt_state_template)
+
+    def load_finetuned(self, trainable_template):
+        """Load finetuned trainable weights referenced by the model block
+        (ref ``agents/base.py:82-95`` vqa_finetuned semantics)."""
+        path = self.config.model.get("vqa_finetuned")
+        if not path:
+            return None
+        trainable, _, meta = self.load_agent_checkpoint(
+            str(path), trainable_template
+        )
+        self.logger.info("Loaded finetuned weights from %s (meta=%s)", path, meta)
+        return trainable
+
+    # ------------------------------------------------------------------
+    # history (ref base.py:266-326)
+    # ------------------------------------------------------------------
+    def record_loss(self, split: str, value: float) -> None:
+        self.loss_history.setdefault(split, []).append(float(value))
+
+    def save_history(self) -> None:
+        path = os.path.join(self.output_dir, "loss_history.json")
+        with open(path, "w") as handle:
+            json.dump(self.loss_history, handle)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots()
+            for split, values in self.loss_history.items():
+                if values:
+                    ax.plot(values, label=split)
+            ax.set_xlabel("epoch")
+            ax.set_ylabel("loss")
+            ax.legend()
+            fig.savefig(os.path.join(self.output_dir, "loss_history.png"))
+            plt.close(fig)
+        except Exception as exc:  # plotting must never kill a run
+            self.logger.warning("loss plot failed: %s", exc)
+
+    # ------------------------------------------------------------------
+    def run(self):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def finalize(self) -> None:
+        self.save_history()
+
+
+def setup_agent(config) -> BaseAgent:
+    """ref ``agents/__init__.py:14-21``."""
+    name = config.run.get("agent")
+    agent_cls = registry.get_agent_class(name)
+    if agent_cls is None:
+        raise KeyError(f"Unknown agent '{name}'")
+    return agent_cls(config)

@@ -1,0 +1,273 @@
+"""Finetune agent (``image_text_finetune``).
+
+TPU-native rebuild of the reference's finetune loop
+(ref ``agents/minigpt4_finetune_agent.py:53-263``):
+
+- ONE jit-compiled, donated train step — forward (noise-injected images ->
+  ViT -> Q-Former -> proj -> LLaMA CE loss), backward over the trainable
+  leaves only, optax update with the warmup-cosine schedule inside the
+  optimizer. No mark_step, no autocast machinery: parameters are bf16,
+  loss accumulates fp32.
+- SPMD data parallelism: params replicated over the mesh, batch sharded
+  on the ``data`` axis; XLA emits the gradient all-reduce (the compiled
+  equivalent of ``xm.reduce_gradients``, ref ``:177``).
+- Gaussian train-time noise by default. The reference's
+  ``maybe_add_noise`` draws **uniform** noise (``torch.rand_like*σ``,
+  ref ``:142-147``) while its certification theory needs Gaussian
+  (ref ``smoothing.py:96``); ``run.noise_dist: uniform`` reproduces the
+  reference behavior for comparisons (SURVEY.md §7 fidelity note).
+- Early stopping on val loss with patience, best-checkpoint save,
+  resume, loss history, optional wandb — same artifacts as the
+  reference.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from certifiedgpt_tpu.agents.base import BaseAgent
+from certifiedgpt_tpu.common.registry import registry
+from certifiedgpt_tpu.data.loader import Loader, shard_batch
+from certifiedgpt_tpu.data.text import BatchSpec, build_train_batch
+from certifiedgpt_tpu.models.minigpt4 import (
+    merge_params,
+    minigpt4_loss,
+    split_params,
+)
+
+
+def add_input_noise(
+    rng: jnp.ndarray, images: jnp.ndarray, sigma: float, dist: str = "gaussian"
+) -> jnp.ndarray:
+    """Draw per-pixel noise on device (ref ``maybe_add_noise``)."""
+    if sigma <= 0:
+        return images
+    if dist == "uniform":
+        noise = jax.random.uniform(rng, images.shape, images.dtype)
+    else:
+        noise = jax.random.normal(rng, images.shape, images.dtype)
+    return images + sigma * noise
+
+
+@registry.register_agent("image_text_finetune")
+class FinetuneAgent(BaseAgent):
+    def __init__(self, config):
+        super().__init__(config)
+        run = self.run_cfg
+        self.max_epoch = int(run.get("max_epoch", 1))
+        self.patience = int(run.get("patience", 5))
+        self.noise_level = float(run.get("noise_level", 0.0))
+        self.noise_dist = str(run.get("noise_dist", "gaussian"))
+        self.batch_size = int(run.get("batch_size", 4))
+        self.seq_len = int(run.get("seq_len", 256))
+        self.seed = int(run.get("seed", 42))
+        self.trainable_keys = tuple(
+            run.get("trainable_keys", ["llama_proj"])
+        )
+        self.optimizer = self.build_optimizer()
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self.wandb_run = self._setup_wandb()
+
+    # ------------------------------------------------------------------
+    def _setup_wandb(self):
+        if not self.run_cfg.get("wandb", False):
+            return None
+        try:
+            import wandb
+
+            run = wandb.init(
+                project=str(self.run_cfg.get("wandb_name", "certifiedgpt_tpu")),
+                config=self.config.to_dict(),
+            )
+            return run
+        except Exception as exc:
+            self.logger.warning("wandb unavailable: %s", exc)
+            return None
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        cfg = self.model.cfg
+        optimizer = self.optimizer
+        noise_level, noise_dist = self.noise_level, self.noise_dist
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(trainable, opt_state, frozen, batch, rng):
+            batch = dict(batch)
+            batch["image"] = add_input_noise(
+                rng, batch["image"], noise_level, noise_dist
+            )
+
+            def loss_fn(tr):
+                return minigpt4_loss(merge_params(tr, frozen), cfg, batch)
+
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss
+
+        return train_step
+
+    def _build_eval_step(self):
+        cfg = self.model.cfg
+        noise_level, noise_dist = self.noise_level, self.noise_dist
+
+        @jax.jit
+        def eval_step(trainable, frozen, batch, rng):
+            batch = dict(batch)
+            batch["image"] = add_input_noise(
+                rng, batch["image"], noise_level, noise_dist
+            )
+            return minigpt4_loss(merge_params(trainable, frozen), cfg, batch)
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    def create_loaders(self) -> Dict[str, Loader]:
+        loaders: Dict[str, Loader] = {}
+        for name in self.config.datasets.keys():
+            builder_cls = registry.get_builder_class(name)
+            if builder_cls is None:
+                raise KeyError(f"Unknown builder '{name}'")
+            for split, dataset in builder_cls().build_datasets().items():
+                loaders[split] = Loader(
+                    dataset,
+                    batch_size=self.batch_size,
+                    shuffle=(split == "train"),
+                    drop_last=True,
+                    seed=self.seed,
+                )
+        return loaders
+
+    def device_batch(self, host_batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        spec = BatchSpec(
+            seq_len=self.seq_len,
+            num_img_tokens=self.model.cfg.num_img_tokens,
+            max_answer_len=self.model.cfg.max_txt_len,
+        )
+        text = build_train_batch(
+            self.model.tokenizer,
+            host_batch["instruction_input"],
+            host_batch["answer"],
+            spec,
+        )
+        arrays = {
+            "image": host_batch["image"].astype(np.float32),
+            **text,
+        }
+        return shard_batch(arrays, self.mesh)
+
+    # ------------------------------------------------------------------
+    def run(self) -> Dict[str, Any]:
+        run = self.run_cfg
+        loaders = self.create_loaders()
+        train_loader = loaders.get("train")
+        val_loader = loaders.get("val") if run.get("has_val_split", True) else None
+        if train_loader is None:
+            raise RuntimeError("No train split configured")
+
+        trainable, frozen = split_params(
+            self.model.params, self.trainable_keys
+        )
+        opt_state = self.optimizer.init(trainable)
+        rng = jax.random.PRNGKey(self.seed)
+        start_epoch = 0
+
+        resume = run.get("resume_ckpt_path")
+        if resume:
+            try:
+                trainable, restored_opt, meta = self.load_agent_checkpoint(
+                    str(resume), trainable, opt_state
+                )
+                if restored_opt is not None:
+                    opt_state = restored_opt
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                self.logger.info("Resumed from %s at epoch %d", resume, start_epoch)
+            except FileNotFoundError:
+                self.logger.info("No resume checkpoint at %s; fresh start", resume)
+
+        ckpt_name = str(run.get("checkpoint_name", "checkpoint"))
+        best_val = float("inf")
+        bad_epochs = 0
+        global_step = 0
+
+        max_iters = run.get("iters_per_epoch")
+        epoch = start_epoch - 1  # stays if the loop body never runs (resume at end)
+        for epoch in range(start_epoch, self.max_epoch):
+            train_loader.set_epoch(epoch)
+            epoch_loss, n_steps = 0.0, 0
+            t0 = time.time()
+            for batch in train_loader:
+                dev_batch = self.device_batch(batch)
+                step_rng = jax.random.fold_in(rng, global_step)
+                trainable, opt_state, loss = self._train_step(
+                    trainable, opt_state, frozen, dev_batch, step_rng
+                )
+                epoch_loss += float(loss)
+                n_steps += 1
+                global_step += 1
+                if max_iters and n_steps >= int(max_iters):
+                    break
+            train_loss = epoch_loss / max(n_steps, 1)
+            self.record_loss("train", train_loss)
+            dt = time.time() - t0
+            self.logger.info(
+                "epoch %d train_loss %.4f (%d steps, %.1fs, %.2f steps/s)",
+                epoch, train_loss, n_steps, dt, n_steps / max(dt, 1e-9),
+            )
+
+            val_loss = None
+            if val_loader is not None:
+                v_sum, v_n = 0.0, 0
+                for batch in val_loader:
+                    dev_batch = self.device_batch(batch)
+                    step_rng = jax.random.fold_in(rng, 10_000_000 + v_n)
+                    v_sum += float(
+                        self._eval_step(trainable, frozen, dev_batch, step_rng)
+                    )
+                    v_n += 1
+                val_loss = v_sum / max(v_n, 1)
+                self.record_loss("val", val_loss)
+                self.logger.info("epoch %d val_loss %.4f", epoch, val_loss)
+
+            if self.wandb_run is not None:
+                self.wandb_run.log(
+                    {
+                        "epoch": epoch,
+                        "train_loss": train_loss,
+                        **({"val_loss": val_loss} if val_loss is not None else {}),
+                    }
+                )
+
+            # resume checkpoint every epoch (with optimizer state)
+            self.save_agent_checkpoint(
+                ckpt_name, trainable, opt_state, epoch=epoch
+            )
+
+            monitored = val_loss if val_loss is not None else train_loss
+            if monitored < best_val:
+                best_val = monitored
+                bad_epochs = 0
+                self.save_agent_checkpoint(
+                    f"{ckpt_name}_best", trainable, epoch=epoch, val_loss=monitored
+                )
+            else:
+                bad_epochs += 1
+                if bad_epochs >= self.patience:
+                    self.logger.info(
+                        "Early stopping at epoch %d (patience %d)",
+                        epoch, self.patience,
+                    )
+                    break
+
+        # push trained weights back into the live model
+        self.model.params = merge_params(trainable, frozen)
+        self.save_history()
+        return {"best_val": best_val, "epochs": epoch + 1, "steps": global_step}

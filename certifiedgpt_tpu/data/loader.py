@@ -109,12 +109,19 @@ def shard_batch(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    n_data = mesh.shape.get(data_axis, 1) if mesh is not None else 1
     out: Dict[str, Any] = {}
     for key, value in batch.items():
         if isinstance(value, np.ndarray) and value.dtype != object:
             if mesh is None:
                 out[key] = jax.numpy.asarray(value)
             else:
+                if value.shape[0] % n_data != 0:
+                    raise ValueError(
+                        f"Global batch dim {value.shape[0]} of '{key}' must be "
+                        f"divisible by the mesh '{data_axis}' axis ({n_data}); "
+                        f"pick a batch_size that is a multiple of the device count"
+                    )
                 spec = P(data_axis, *([None] * (value.ndim - 1)))
                 out[key] = jax.device_put(value, NamedSharding(mesh, spec))
         else:

@@ -1,0 +1,150 @@
+"""Registry-facing model wrapper.
+
+The reference builds its model via
+``registry.get_model_class("minigpt4").from_config(cfg.model)``
+(ref ``minigpt4.py:151-199``). This wrapper keeps that public surface on
+top of the functional core: it resolves YAML model-block keys to the
+dataclass configs, loads/converts the four torch checkpoint families when
+paths are configured (Vicuna HF dir, eva_vit_g.pth, BLIP-2 Q-Former,
+MiniGPT-4 stage-2), and falls back to seeded random init otherwise (tiny
+configs for tests / dry runs).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from certifiedgpt_tpu.common.logging import get_logger
+from certifiedgpt_tpu.common.registry import registry
+from certifiedgpt_tpu.data.text import ByteTokenizer, HFTokenizer
+from certifiedgpt_tpu.models.convert import (
+    convert_eva_vit_state_dict,
+    convert_llama_state_dict,
+    convert_qformer_state_dict,
+)
+from certifiedgpt_tpu.models.eva_vit import EvaViTConfig
+from certifiedgpt_tpu.models.llama import LlamaConfig
+from certifiedgpt_tpu.models.minigpt4 import (
+    MiniGPT4Config,
+    init_minigpt4,
+)
+from certifiedgpt_tpu.models.qformer import QFormerConfig
+
+
+def _torch_load(path: str):
+    import torch
+
+    return torch.load(path, map_location="cpu")
+
+
+@registry.register_model("minigpt4")
+class MiniGPT4Model:
+    """Holds (cfg, params, tokenizer); compute lives in
+    ``certifiedgpt_tpu.models.minigpt4`` pure functions."""
+
+    def __init__(self, cfg: MiniGPT4Config, params: Dict[str, Any], tokenizer):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_config(cls, model_cfg) -> "MiniGPT4Model":
+        logger = get_logger()
+        size = model_cfg.get("model_size", "full")
+        seed = int(model_cfg.get("init_seed", 0))
+
+        if size == "tiny":
+            cfg = MiniGPT4Config.tiny()
+        else:
+            image_size = int(model_cfg.get("image_size", 448))
+            num_query = int(model_cfg.get("num_query_token", 32))
+            cfg = MiniGPT4Config(
+                vit=EvaViTConfig(img_size=image_size),
+                qformer=QFormerConfig(num_query_tokens=num_query),
+                llama=LlamaConfig(),
+                max_txt_len=int(model_cfg.get("max_txt_len", 160)),
+            )
+
+        params = init_minigpt4(jax.random.PRNGKey(seed), cfg)
+
+        llama_path = model_cfg.get("llama_model")
+        if llama_path and os.path.exists(str(llama_path)):
+            logger.info("Loading LLaMA weights from %s", llama_path)
+            params["llama"] = cls._load_llama(str(llama_path), cfg.llama)
+            tokenizer = HFTokenizer(str(llama_path))
+        else:
+            if llama_path:
+                logger.warning(
+                    "llama_model path %s not found; using random init", llama_path
+                )
+            tokenizer = ByteTokenizer()
+
+        vit_path = model_cfg.get("eva_vit_g_pth") or model_cfg.get("vit_ckpt")
+        if vit_path and os.path.exists(str(vit_path)):
+            logger.info("Loading EVA ViT weights from %s", vit_path)
+            params["vit"] = convert_eva_vit_state_dict(
+                _torch_load(str(vit_path)), cfg.vit
+            )
+
+        qformer_path = model_cfg.get("q_former_model") or model_cfg.get(
+            "qformer_ckpt"
+        )
+        if qformer_path and os.path.exists(str(qformer_path)):
+            logger.info("Loading Q-Former weights from %s", qformer_path)
+            sd = _torch_load(str(qformer_path))
+            sd = sd.get("model", sd)
+            converted = convert_qformer_state_dict(
+                sd, cfg.qformer, prefix="Qformer.bert."
+            )
+            if "query_tokens" in sd:
+                import numpy as np
+
+                converted["query_tokens"] = jnp.asarray(
+                    np.asarray(sd["query_tokens"].detach().float().numpy()),
+                    cfg.qformer.dtype,
+                )
+            converted.setdefault("query_tokens", params["qformer"]["query_tokens"])
+            params["qformer"] = converted
+
+        # stage-2 MiniGPT-4 checkpoint: llama_proj (+ possibly ln_vision)
+        ckpt = model_cfg.get("ckpt") or model_cfg.get("minigpt4_ckpt")
+        if ckpt and os.path.exists(str(ckpt)):
+            logger.info("Loading MiniGPT-4 stage-2 checkpoint from %s", ckpt)
+            sd = _torch_load(str(ckpt))
+            sd = sd.get("model_state_dict", sd.get("model", sd))
+            cls._load_projection(params, sd)
+
+        return cls(cfg, params, tokenizer)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _load_llama(path: str, cfg: LlamaConfig) -> Dict[str, Any]:
+        """Load an HF LLaMA dir (safetensors or torch shards)."""
+        from transformers import AutoModelForCausalLM
+
+        model = AutoModelForCausalLM.from_pretrained(path)
+        return convert_llama_state_dict(model.state_dict(), cfg)
+
+    @staticmethod
+    def _load_projection(params: Dict[str, Any], sd: Dict[str, Any]) -> None:
+        import numpy as np
+
+        for key, value in sd.items():
+            arr = np.asarray(value.detach().float().numpy())
+            if key.endswith("llama_proj.weight"):
+                params["llama_proj"]["kernel"] = jnp.asarray(arr.T, jnp.float32)
+            elif key.endswith("llama_proj.bias"):
+                params["llama_proj"]["bias"] = jnp.asarray(arr, jnp.float32)
+            elif key.endswith("ln_vision.weight"):
+                params["ln_vision"]["scale"] = jnp.asarray(
+                    arr, params["ln_vision"]["scale"].dtype
+                )
+            elif key.endswith("ln_vision.bias"):
+                params["ln_vision"]["bias"] = jnp.asarray(
+                    arr, params["ln_vision"]["bias"].dtype
+                )

@@ -1,0 +1,134 @@
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from certifiedgpt_tpu.common.config import Config
+from certifiedgpt_tpu import registration  # noqa: F401
+from certifiedgpt_tpu.agents.base import setup_agent
+from certifiedgpt_tpu.optim import LinearWarmupCosineLR, weight_decay_mask
+
+
+@pytest.fixture()
+def tiny_run(tmp_path):
+    """Synthetic VQAv2 + tiny-model finetune config."""
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    questions, annotations = [], []
+    for i in range(16):
+        image_id = 2000 + i
+        arr = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"COCO_train2014_{image_id:012d}.jpg")
+        qid = i + 1
+        questions.append(
+            {"question_id": qid, "image_id": image_id, "question": f"what is {i}?"}
+        )
+        annotations.append(
+            {
+                "question_id": qid,
+                "image_id": image_id,
+                "answers": [{"answer": "cat", "answer_confidence": "yes"}],
+            }
+        )
+    (tmp_path / "q.json").write_text(json.dumps({"questions": questions}))
+    (tmp_path / "a.json").write_text(json.dumps({"annotations": annotations}))
+
+    cfg = {
+        "model": {"arch": "minigpt4", "model_size": "tiny"},
+        "datasets": {
+            "vqav2": {
+                "vis_processor": {
+                    "train": {"name": "blip2_image_train", "image_size": 28},
+                    "val": {"name": "blip2_image_val", "image_size": 28},
+                },
+                "text_processor": {"train": {"name": "blip_caption"}},
+                "build_info": {
+                    "images": {"storage": str(img_dir)},
+                    "questions": {"train": [str(tmp_path / "q.json")]},
+                    "annotations": {"train": [str(tmp_path / "a.json")]},
+                },
+            }
+        },
+        "run": {
+            "agent": "image_text_finetune",
+            "max_epoch": 2,
+            "batch_size": 8,
+            "seq_len": 64,
+            "noise_level": 0.5,
+            "init_lr": 1e-3,
+            "min_lr": 1e-4,
+            "warmup_steps": 2,
+            "warmup_start_lr": 1e-5,
+            "warmup_max_lr": 1e-3,
+            "iters_per_epoch": 2,
+            "lr_sched": "linear_warmup_cosine_lr",
+            "has_val_split": False,
+            "checkpoint_name": "test_ckpt",
+            "output_dir": str(tmp_path / "out"),
+            "seed": 7,
+        },
+    }
+    return Config(cfg), tmp_path
+
+
+def test_finetune_end_to_end(tiny_run):
+    config, tmp_path = tiny_run
+    agent = setup_agent(config)
+    result = agent.run()
+    assert result["steps"] == 4  # 2 epochs x iters_per_epoch 2
+    # loss history + checkpoints written
+    out = tmp_path / "out"
+    assert (out / "loss_history.json").exists()
+    assert (out / "test_ckpt.npz").exists()
+    assert (out / "test_ckpt_best.npz").exists()
+    history = json.loads((out / "loss_history.json").read_text())
+    assert len(history["train"]) == 2
+    assert all(np.isfinite(v) for v in history["train"])
+
+
+def test_finetune_resume(tiny_run):
+    config, tmp_path = tiny_run
+    agent = setup_agent(config)
+    agent.run()
+    # resume from the saved checkpoint: should start at epoch 2 == max_epoch
+    config.config._data["run"]["resume_ckpt_path"] = "test_ckpt"
+    agent2 = setup_agent(config)
+    result = agent2.run()
+    assert result["steps"] == 0  # nothing left to train
+
+
+def test_warmup_cosine_schedule_matches_reference_math():
+    sched = LinearWarmupCosineLR(
+        max_epoch=4,
+        iters_per_epoch=10,
+        min_lr=1e-4,
+        init_lr=1e-3,
+        warmup_steps=5,
+        warmup_start_lr=1e-5,
+        warmup_max_lr=1e-3,
+    )
+    import math
+
+    # warmup region: linear from warmup_start to warmup_max
+    for step in range(5):
+        expect = min(1e-3, 1e-5 + (1e-3 - 1e-5) * step / 5)
+        np.testing.assert_allclose(float(sched(step)), expect, rtol=1e-6)
+    # cosine region (reference cosine_lr_schedule formula)
+    for step in (5, 20, 39):
+        expect = (1e-3 - 1e-4) * 0.5 * (1 + math.cos(math.pi * step / 40)) + 1e-4
+        np.testing.assert_allclose(float(sched(step)), expect, rtol=1e-6)
+
+
+def test_weight_decay_mask_rules():
+    import jax.numpy as jnp
+
+    params = {
+        "llama_proj": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+        "ln_vision": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+    }
+    mask = weight_decay_mask(params)
+    assert mask["llama_proj"]["kernel"] is True
+    assert mask["llama_proj"]["bias"] is False
+    assert mask["ln_vision"]["scale"] is False
