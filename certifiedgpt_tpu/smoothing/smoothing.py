@@ -1,0 +1,142 @@
+"""Randomized-smoothing certification core (Cohen et al. 2019).
+
+Re-implements the reference's ``Smooth`` class
+(ref ``randomized_smoothing/smoothing.py:13-117``) with the same
+statistics and decision rules:
+
+- ``certify``: n0 selection draws pick the top class; n estimation draws
+  give a Clopper-Pearson lower bound ``pA_bar`` on its probability at
+  one-sided level alpha (the reference calls
+  ``proportion_confint(nA, n, alpha=2*alpha, method="beta")[0]``;
+  implemented here directly from the Beta quantile, identical values);
+  abstain iff ``pA_bar < 0.5`` else certified radius
+  ``R = sigma * Phi^-1(pA_bar)`` (the code-form one-class bound — the
+  reference README quotes the two-class form, SURVEY.md §2.4 note a).
+- ``predict``: two-sided binomial test on the top-2 counts, abstain iff
+  p-value > alpha (ref ``smoothing.py:58-79``).
+
+TPU-native differences: the noise loop is delegated to a ``sample_fn``
+that the caller builds as ONE jit-compiled vmapped forward with the
+Monte-Carlo axis sharded over the device mesh (see
+``smoothing/classifier.py``); the reference's hard-coded
+``device='cuda'`` noise sampler (ref ``smoothing.py:96``) has no
+equivalent here — noise is drawn on device from counter-based
+``jax.random`` keys.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+from scipy.stats import binomtest, norm
+from scipy.stats import beta as beta_dist
+
+ABSTAIN = -1
+
+
+def clopper_pearson_lower(k: int, n: int, alpha: float) -> float:
+    """One-sided lower confidence bound for a binomial proportion.
+
+    Equal to ``statsmodels.stats.proportion.proportion_confint(k, n,
+    alpha=2*alpha, method="beta")[0]`` — the exact (Beta-quantile)
+    Clopper-Pearson bound the reference uses (ref ``smoothing.py:107-117``).
+    """
+    if n == 0:
+        return 0.0
+    if k == 0:
+        return 0.0
+    return float(beta_dist.ppf(alpha, k, n - k + 1))
+
+
+def clopper_pearson_upper(k: int, n: int, alpha: float) -> float:
+    if n == 0:
+        return 1.0
+    if k == n:
+        return 1.0
+    return float(beta_dist.ppf(1.0 - alpha, k + 1, n - k))
+
+
+def binom_p_value(k: int, n: int, p: float = 0.5) -> float:
+    """Two-sided exact binomial test (scipy.binomtest; the reference's
+    deprecated ``scipy.stats.binom_test`` computed the same value)."""
+    if n == 0:
+        return 1.0
+    return float(binomtest(k, n, p).pvalue)
+
+
+def certified_radius(sigma: float, p_lower: float) -> float:
+    """R = sigma * Phi^-1(pA_bar) (ref ``smoothing.py:52-56``)."""
+    return float(sigma * norm.ppf(p_lower))
+
+
+def certified_radius_two_class(
+    sigma: float, p_a_lower: float, p_b_upper: float
+) -> float:
+    """The README's two-class form R = sigma/2 (Phi^-1(pA) - Phi^-1(pB))
+    (ref ``README.md:54``), provided for analysis parity."""
+    return float(0.5 * sigma * (norm.ppf(p_a_lower) - norm.ppf(p_b_upper)))
+
+
+class Smooth:
+    """Smoothed classifier g(x) = argmax_c P(f(x + sigma*eps) = c).
+
+    ``sample_fn(x, num, seed) -> np.ndarray[num] of int labels`` runs the
+    base classifier on ``num`` noisy copies of ``x`` — noise included —
+    and returns hard labels. It owns all device work; this class owns the
+    statistics. ``num_classes`` fixes the label set (required for Cohen's
+    guarantee: the set must not depend on the draws).
+    """
+
+    ABSTAIN = ABSTAIN
+
+    def __init__(
+        self,
+        sample_fn: Callable[[np.ndarray, int, int], np.ndarray],
+        num_classes: int,
+        sigma: float,
+    ):
+        self.sample_fn = sample_fn
+        self.num_classes = num_classes
+        self.sigma = float(sigma)
+
+    # ------------------------------------------------------------------
+    def _counts(self, x, num: int, seed: int) -> np.ndarray:
+        labels = np.asarray(self.sample_fn(x, num, seed))
+        counts = np.bincount(
+            labels[labels >= 0], minlength=self.num_classes
+        ).astype(np.int64)
+        return counts
+
+    # ------------------------------------------------------------------
+    def certify(
+        self,
+        x,
+        n0: int,
+        n: int,
+        alpha: float,
+        seed: int = 0,
+    ) -> Tuple[int, float]:
+        """Return (class, certified radius) or (ABSTAIN, 0.0)
+        (ref ``smoothing.py:29-56``)."""
+        counts0 = self._counts(x, n0, seed)
+        c_a = int(np.argmax(counts0))
+        counts = self._counts(x, n, seed + 1)
+        n_a = int(counts[c_a])
+        p_a_bar = clopper_pearson_lower(n_a, n, alpha)
+        if p_a_bar < 0.5:
+            return ABSTAIN, 0.0
+        return c_a, certified_radius(self.sigma, p_a_bar)
+
+    # ------------------------------------------------------------------
+    def predict(self, x, n: int, alpha: float, seed: int = 0) -> int:
+        """Top class of n draws, abstain unless the top-2 split is
+        significant at level alpha (ref ``smoothing.py:58-79``)."""
+        counts = self._counts(x, n, seed)
+        top2 = counts.argsort()[::-1][:2]
+        c_a, c_b = int(top2[0]), int(top2[1])
+        n_a, n_b = int(counts[c_a]), int(counts[c_b])
+        if binom_p_value(n_a, n_a + n_b, 0.5) > alpha:
+            return ABSTAIN
+        return c_a

@@ -1,0 +1,127 @@
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from certifiedgpt_tpu.common.config import Config
+from certifiedgpt_tpu import registration  # noqa: F401
+from certifiedgpt_tpu.agents.base import setup_agent
+
+
+@pytest.fixture()
+def eval_setup(tmp_path):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    questions, annotations = [], []
+    for i in range(6):
+        image_id = 3000 + i
+        arr = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"COCO_val2014_{image_id:012d}.jpg")
+        qid = i + 1
+        questions.append(
+            {"question_id": qid, "image_id": image_id, "question": f"what is {i}?"}
+        )
+        annotations.append(
+            {
+                "question_id": qid,
+                "image_id": image_id,
+                "question_type": "what is",
+                "answer_type": "other",
+                "answers": [
+                    {"answer": "cat", "answer_confidence": "yes", "answer_id": j + 1}
+                    for j in range(10)
+                ],
+                "multiple_choice_answer": "cat",
+            }
+        )
+    (tmp_path / "q.json").write_text(json.dumps({"questions": questions}))
+    (tmp_path / "a.json").write_text(json.dumps({"annotations": annotations}))
+
+    def make_cfg(agent, **run_extra):
+        run = {
+            "agent": agent,
+            "batch_size": 2,
+            "seq_len": 48,
+            "max_new_tokens": 4,
+            "noise_level": 0.25,
+            "output_dir": str(tmp_path / f"out_{agent}"),
+            "seed": 3,
+        }
+        run.update(run_extra)
+        return Config(
+            {
+                "model": {"arch": "minigpt4", "model_size": "tiny"},
+                "datasets": {
+                    "evalvqav2": {
+                        "vis_processor": {
+                            "val": {"name": "blip2_image_val", "image_size": 28}
+                        },
+                        "build_info": {
+                            "images": {"storage": str(img_dir)},
+                            "questions": {"val": [str(tmp_path / "q.json")]},
+                            "annotations": {"val": [str(tmp_path / "a.json")]},
+                        },
+                    }
+                },
+                "run": run,
+            }
+        )
+
+    return make_cfg, tmp_path
+
+
+def test_eval_agent_end_to_end(eval_setup):
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(make_cfg("image_text_eval"))
+    results = agent.run()
+    assert results["num_questions"] == 6
+    assert 0.0 <= results["overall_accuracy"] <= 100.0
+    assert (tmp_path / "out_image_text_eval" / "eval_results.json").exists()
+
+
+def test_certify_agent_end_to_end(eval_setup):
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            certify_n0=8,
+            certify_n=16,
+            certify_alpha=0.05,
+            mc_batch=8,
+            max_images=2,
+        )
+    )
+    summary = agent.run()
+    assert summary["total"] == 2
+    assert 0.0 <= summary["abstention_rate"] <= 1.0
+    assert set(summary["certified_accuracy_at_radius"]) == {
+        "0.5", "1.0", "2.0", "3.0",
+    }
+    out = tmp_path / "out_image_text_certify"
+    rows = [
+        json.loads(line)
+        for line in (out / "certify_results.jsonl").read_text().splitlines()
+    ]
+    assert len(rows) == 2
+    # a certified (non-abstained) row must carry a positive radius
+    for row in rows:
+        assert row["abstain"] or row["radius"] > 0
+
+
+def test_predict_agent_end_to_end(eval_setup):
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_predict",
+            predict_n=16,
+            certify_alpha=0.05,
+            mc_batch=8,
+            max_images=2,
+        )
+    )
+    summary = agent.run()
+    assert summary["total"] == 2
+    assert 0.0 <= summary["accuracy"] <= 1.0
+    assert (tmp_path / "out_image_text_predict" / "predict_summary.json").exists()

@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+from scipy.stats import norm
+
+from certifiedgpt_tpu.smoothing.smoothing import (
+    ABSTAIN,
+    Smooth,
+    binom_p_value,
+    certified_radius,
+    certified_radius_two_class,
+    clopper_pearson_lower,
+    clopper_pearson_upper,
+)
+from certifiedgpt_tpu.smoothing.classifier import AnswerVocabulary
+
+
+def test_clopper_pearson_matches_exact_binomial_inversion():
+    """The Beta-quantile form must equal the defining binomial inversion
+    (solve P(X >= k | p) = alpha for p) — the same exact bound
+    statsmodels' method='beta' (used by the reference) computes."""
+    from scipy.optimize import brentq
+    from scipy.stats import binom
+
+    def inversion(k, n, a):
+        if k == 0:
+            return 0.0
+        return brentq(lambda p: binom.sf(k - 1, n, p) - a, 1e-12, 1 - 1e-12)
+
+    for k, n, a in [
+        (990, 1000, 0.001),
+        (900, 1000, 0.001),
+        (501, 1000, 0.05),
+        (10, 10, 0.05),
+        (0, 100, 0.05),
+        (1, 1000, 0.001),
+    ]:
+        np.testing.assert_allclose(
+            clopper_pearson_lower(k, n, a), inversion(k, n, a), atol=1e-9
+        )
+
+
+def test_clopper_pearson_bracket_and_monotonicity():
+    # lower < empirical < upper, and lower bound grows with k
+    for k, n in [(50, 100), (90, 100), (999, 1000)]:
+        lo = clopper_pearson_lower(k, n, 0.001)
+        hi = clopper_pearson_upper(k, n, 0.001)
+        assert lo < k / n < hi
+    lows = [clopper_pearson_lower(k, 100, 0.01) for k in range(0, 101, 10)]
+    assert all(a <= b for a, b in zip(lows, lows[1:]))
+
+
+def test_binom_p_value():
+    # symmetric exact test
+    assert binom_p_value(5, 10, 0.5) == pytest.approx(1.0)
+    assert binom_p_value(10, 10, 0.5) == pytest.approx(2 * 0.5**10, rel=1e-9)
+    assert binom_p_value(0, 0) == 1.0
+
+
+def test_radius_formulas():
+    np.testing.assert_allclose(
+        certified_radius(0.5, 0.975), 0.5 * norm.ppf(0.975)
+    )
+    # two-class with pB = 1 - pA reduces to the one-class bound
+    np.testing.assert_allclose(
+        certified_radius_two_class(0.5, 0.975, 0.025),
+        certified_radius(0.5, 0.975),
+    )
+
+
+class _FakeSampler:
+    """Deterministic sampler: class 0 with probability p, else class 1."""
+
+    def __init__(self, p: float):
+        self.p = p
+
+    def __call__(self, x, num, seed):
+        rng = np.random.default_rng(seed)
+        return (rng.random(num) > self.p).astype(np.int64)
+
+
+def test_smooth_certify_confident():
+    smooth = Smooth(_FakeSampler(0.95), num_classes=2, sigma=0.5)
+    label, radius = smooth.certify(None, n0=100, n=1000, alpha=0.001, seed=1)
+    assert label == 0
+    assert 0 < radius < 0.5 * norm.ppf(0.999)
+    # radius consistent with the formula on the realized counts
+    counts = np.bincount(_FakeSampler(0.95)(None, 1000, 2), minlength=2)
+    p_bar = clopper_pearson_lower(int(counts[0]), 1000, 0.001)
+    np.testing.assert_allclose(radius, 0.5 * norm.ppf(p_bar), atol=1e-9)
+
+
+def test_smooth_certify_abstains_near_half():
+    smooth = Smooth(_FakeSampler(0.5), num_classes=2, sigma=0.5)
+    label, radius = smooth.certify(None, n0=100, n=1000, alpha=0.001, seed=3)
+    assert label == ABSTAIN and radius == 0.0
+
+
+def test_smooth_predict():
+    assert Smooth(_FakeSampler(0.9), 2, 0.5).predict(None, 100, 0.001, seed=5) == 0
+    assert (
+        Smooth(_FakeSampler(0.5), 2, 0.5).predict(None, 100, 0.001, seed=5)
+        == ABSTAIN
+    )
+
+
+def test_answer_vocabulary():
+    vocab = AnswerVocabulary(["Blue", "light blue", "blue", "two", "2"])
+    # normalization dedups: blue == Blue, two == 2
+    assert vocab.num_classes == 4  # blue, light blue, 2, OTHER
+    assert vocab.label_of("blue") == vocab.label_of("Blue.")
+    assert vocab.label_of("TWO") == vocab.label_of("2")
+    assert vocab.label_of("giraffe") == vocab.other_label
+    assert vocab.text_of(vocab.label_of("blue")) == "blue"
+    assert vocab.text_of(vocab.other_label) == "<other>"
