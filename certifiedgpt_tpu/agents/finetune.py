@@ -76,6 +76,15 @@ class FinetuneAgent(BaseAgent):
         self._eval_step = self._build_eval_step()
         self.wandb_run = self._setup_wandb()
 
+        from certifiedgpt_tpu.common.metrics import TPUMetrics
+        from certifiedgpt_tpu.common.profiling import Profiler
+
+        self.profiler = Profiler(run)
+        self.metrics = TPUMetrics(
+            self.output_dir, str(run.get("checkpoint_name", "metrics"))
+        )
+        self.metrics.track("train_step", self._train_step)
+
     # ------------------------------------------------------------------
     def _setup_wandb(self):
         if not self.run_cfg.get("wandb", False):
@@ -207,10 +216,16 @@ class FinetuneAgent(BaseAgent):
             for batch in train_loader:
                 dev_batch = self.device_batch(batch)
                 step_rng = jax.random.fold_in(rng, global_step)
+                self.profiler.maybe_start(epoch, n_steps)
                 trainable, opt_state, loss = self._train_step(
                     trainable, opt_state, frozen, dev_batch, step_rng
                 )
-                epoch_loss += float(loss)
+                loss_f = float(loss)
+                self.metrics.log_step_metrics(
+                    "train", epoch, n_steps, loss_f,
+                    lr=float(self.lr_schedule(global_step)),
+                )
+                epoch_loss += loss_f
                 n_steps += 1
                 global_step += 1
                 if max_iters and n_steps >= int(max_iters):

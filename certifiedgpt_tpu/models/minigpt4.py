@@ -69,6 +69,32 @@ class MiniGPT4Config:
         base.update(overrides)
         return MiniGPT4Config(**base)
 
+    @staticmethod
+    def small(**overrides) -> "MiniGPT4Config":
+        """Bench-scale config: structurally complete (448px vision tower,
+        cross-attn Q-Former, multi-layer decoder) at a size that fits one
+        chip with random weights — used by bench.py and the graft entry."""
+        vit = EvaViTConfig(
+            img_size=224, patch_size=14, embed_dim=768, depth=12,
+            num_heads=12, mlp_hidden=3072,
+        )
+        base = dict(
+            vit=vit,
+            qformer=QFormerConfig(
+                hidden_size=768, num_layers=6, num_heads=12,
+                intermediate_size=3072, encoder_width=vit.embed_dim,
+            ),
+            llama=LlamaConfig(
+                vocab_size=32000, hidden_size=1024, intermediate_size=2816,
+                num_layers=8, num_heads=16, num_kv_heads=16,
+                max_position_embeddings=512,
+            ),
+            max_txt_len=32,
+            max_context_len=512,
+        )
+        base.update(overrides)
+        return MiniGPT4Config(**base)
+
     @property
     def num_img_tokens(self) -> int:
         return self.qformer.num_query_tokens
