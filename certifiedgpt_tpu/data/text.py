@@ -47,7 +47,7 @@ class ByteTokenizer:
         return ids
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
-        data = bytes(i - 4 for i in ids if i >= 4)
+        data = bytes(i - 4 for i in ids if 4 <= i < 260)
         return data.decode("utf-8", errors="replace")
 
 

@@ -80,15 +80,22 @@ def make_noisy_generate_fn(
     eos = model.tokenizer.eos_token_id
     pad = model.tokenizer.pad_token_id
 
-    def fn(image, input_ids, attention_mask, img_pos, key):
-        # tile the single sample to the Monte-Carlo batch
-        images = jnp.broadcast_to(image[None], (mc_batch,) + image.shape)
-        if sigma > 0:
-            if noise_dist == "uniform":
-                noise = jax.random.uniform(key, images.shape, images.dtype)
-            else:
-                noise = jax.random.normal(key, images.shape, images.dtype)
-            images = images + sigma * noise
+    # NOTE: params are an explicit argument — closing over them would bake
+    # hundreds of MB of weights into the jaxpr as constants and stall
+    # compilation.
+    def fn(params, image, input_ids, attention_mask, img_pos, key):
+        # tile the single sample to the Monte-Carlo batch; the fused Pallas
+        # path draws the Gaussian on-core (ops/noise.py), the XLA fallback
+        # covers CPU tests and the uniform bug-compat mode.
+        if noise_dist == "uniform" and sigma > 0:
+            images = jnp.broadcast_to(image[None], (mc_batch,) + image.shape)
+            images = images + sigma * jax.random.uniform(
+                key, images.shape, images.dtype
+            )
+        else:
+            from certifiedgpt_tpu.ops.noise import noisy_tile
+
+            images = noisy_tile(image, mc_batch, sigma, key)
         batch = {
             "image": images,
             "input_ids": jnp.broadcast_to(
@@ -99,9 +106,7 @@ def make_noisy_generate_fn(
             ),
             "img_pos": jnp.broadcast_to(img_pos, (mc_batch,)),
         }
-        return generate_greedy(
-            model.params, cfg, batch, max_new_tokens, eos, pad
-        )
+        return generate_greedy(params, cfg, batch, max_new_tokens, eos, pad)
 
     return jax.jit(fn)
 
@@ -143,6 +148,7 @@ def make_sample_fn(
             key = jax.random.fold_in(base_key, chunk)
             tokens = np.asarray(
                 gen(
+                    model.params,
                     image,
                     prompt["input_ids"],
                     prompt["attention_mask"],
