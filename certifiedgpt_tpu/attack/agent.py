@@ -1,0 +1,399 @@
+"""Attack-evaluation agent (``image_text_attack``).
+
+Drives the full AttackVLM-style pipeline over a VQAv2/CC-SBU subset
+(SURVEY.md §2.9 — capability described in the reference README with no
+code): for each image, pick a *target* text (another sample's answer or
+a configured target list), craft an adversarial image against the CLIP
+surrogate ensemble (PGD transfer stage + optional RGF query stage),
+caption clean and adversarial images with the victim MiniGPT-4, and
+score attack success by CLIP-text similarity movement toward the
+target. Reports per-backbone success rates across noise levels plus the
+ANCOVA table (ref ``README.md:108-120,160``).
+
+Run-block knobs: ``attack_backbones`` (subset of rn50/rn101/vit_b16/
+vit_b32/vit_l14; tiny variants for tests), ``attack_epsilon``,
+``attack_steps``, ``attack_step_size``, ``rgf_queries``, ``rgf_iters``,
+``max_images``, ``noise_level`` (victim-side smoothing sigma),
+``clip_model`` (HF dir for pretrained surrogate weights + tokenizer).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from certifiedgpt_tpu.agents.base import BaseAgent
+from certifiedgpt_tpu.agents.finetune import add_input_noise
+from certifiedgpt_tpu.attack.attack import (
+    SurrogateEncoder,
+    ancova,
+    attack_success,
+    cosine_similarity,
+    make_pgd_attack,
+    rgf_refine,
+)
+from certifiedgpt_tpu.attack.clip import (
+    ClipResNetConfig,
+    ClipTextConfig,
+    ClipViTConfig,
+    clip_resnet_image,
+    clip_text,
+    clip_vit_image,
+    init_clip_resnet,
+    init_clip_text,
+    init_clip_vit,
+)
+from certifiedgpt_tpu.common.registry import registry
+from certifiedgpt_tpu.data.loader import shard_batch
+from certifiedgpt_tpu.data.processors import CLIP_MEAN, CLIP_STD
+from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch, clean_answer
+from certifiedgpt_tpu.models.minigpt4 import generate_greedy
+
+_BACKBONES: Dict[str, Callable[[], Tuple[Any, Any, int]]] = {}
+
+
+def _register_backbone(name):
+    def wrap(fn):
+        _BACKBONES[name] = fn
+        return fn
+
+    return wrap
+
+
+@_register_backbone("vit_b32")
+def _vit_b32():
+    return ClipViTConfig.b32(), clip_vit_image, init_clip_vit
+
+
+@_register_backbone("vit_b16")
+def _vit_b16():
+    return ClipViTConfig.b16(), clip_vit_image, init_clip_vit
+
+
+@_register_backbone("vit_l14")
+def _vit_l14():
+    return ClipViTConfig.l14(), clip_vit_image, init_clip_vit
+
+
+@_register_backbone("rn50")
+def _rn50():
+    return ClipResNetConfig.rn50(), clip_resnet_image, init_clip_resnet
+
+
+@_register_backbone("rn101")
+def _rn101():
+    return ClipResNetConfig.rn101(), clip_resnet_image, init_clip_resnet
+
+
+@_register_backbone("vit_tiny")
+def _vit_tiny():
+    return ClipViTConfig.tiny(), clip_vit_image, init_clip_vit
+
+
+@_register_backbone("rn_tiny")
+def _rn_tiny():
+    return ClipResNetConfig.tiny(), clip_resnet_image, init_clip_resnet
+
+
+class _HashTextEncoder:
+    """Dependency-free stand-in text scorer: bag-of-words hash embedding.
+
+    Used when no pretrained CLIP text tower/tokenizer is configured
+    (random-weight runs, tests). Real runs configure ``clip_model`` and
+    get the true CLIP text encoder.
+    """
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def __call__(self, texts: List[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, text in enumerate(texts):
+            for word in text.lower().split():
+                out[i, hash(word) % self.dim] += 1.0
+        norm = np.linalg.norm(out, axis=-1, keepdims=True)
+        return out / np.maximum(norm, 1e-8)
+
+
+@registry.register_agent("image_text_attack")
+class AttackAgent(BaseAgent):
+    def __init__(self, config):
+        super().__init__(config)
+        run = self.run_cfg
+        self.backbone_names = list(
+            run.get("attack_backbones", ["vit_b32", "vit_b16", "rn50"])
+        )
+        self.epsilon = float(run.get("attack_epsilon", 8.0 / 255.0))
+        self.steps = int(run.get("attack_steps", 100))
+        self.step_size = float(run.get("attack_step_size", 1.0 / 255.0))
+        self.rgf_queries = int(run.get("rgf_queries", 0))
+        self.rgf_iters = int(run.get("rgf_iters", 4))
+        self.max_images = run.get("max_images")
+        self.noise_level = float(run.get("noise_level", 0.0))
+        self.max_new_tokens = int(run.get("max_new_tokens", 10))
+        self.seq_len = int(run.get("seq_len", 96))
+        self.seed = int(run.get("seed", 42))
+
+        finetuned = self.load_finetuned(
+            {"llama_proj": self.model.params["llama_proj"]}
+        )
+        if finetuned is not None:
+            self.model.params["llama_proj"] = finetuned["llama_proj"]
+
+        self.encoders = self._build_encoders()
+        self.text_encoder = self._build_text_encoder()
+        self._victim_generate = self._build_victim()
+
+    # ------------------------------------------------------------------
+    def _build_encoders(self) -> List[SurrogateEncoder]:
+        encoders = []
+        clip_dir = self.run_cfg.get("clip_model")
+        for i, name in enumerate(self.backbone_names):
+            if name not in _BACKBONES:
+                raise KeyError(f"Unknown attack backbone '{name}'")
+            cfg, apply_fn, init_fn = _BACKBONES[name]()
+            params = init_fn(jax.random.PRNGKey(1000 + i), cfg)
+            if clip_dir and name.startswith("vit") and os.path.exists(str(clip_dir)):
+                try:
+                    from transformers import CLIPModel
+
+                    from certifiedgpt_tpu.attack.clip import convert_hf_clip
+
+                    hf = CLIPModel.from_pretrained(str(clip_dir))
+                    converted = convert_hf_clip(
+                        hf.state_dict(), cfg, ClipTextConfig()
+                    )
+                    params = converted["vision"]
+                    self.logger.info("Loaded %s weights from %s", name, clip_dir)
+                except Exception as exc:
+                    self.logger.warning(
+                        "CLIP load failed for %s (%s); random init", name, exc
+                    )
+
+            def make_apply(fn, c):
+                return lambda p, imgs: fn(p, c, imgs)
+
+            encoders.append(
+                SurrogateEncoder(
+                    name=name,
+                    apply_fn=make_apply(apply_fn, cfg),
+                    params=params,
+                    image_size=cfg.image_size,
+                )
+            )
+        return encoders
+
+    def _build_text_encoder(self):
+        return _HashTextEncoder()
+
+    def _build_victim(self):
+        cfg = self.model.cfg
+        eos = self.model.tokenizer.eos_token_id
+        pad = self.model.tokenizer.pad_token_id
+        max_new = self.max_new_tokens
+        sigma, dist = self.noise_level, "gaussian"
+
+        @jax.jit
+        def gen(params, batch, rng):
+            batch = dict(batch)
+            batch["image"] = add_input_noise(rng, batch["image"], sigma, dist)
+            return generate_greedy(params, cfg, batch, max_new, eos, pad)
+
+        return gen
+
+    # ------------------------------------------------------------------
+    def caption(self, pixels: np.ndarray, instruction: str, step: int) -> str:
+        """Victim caption of a [0,1]-pixel image (CLIP-normalized inside)."""
+        mean = np.asarray(CLIP_MEAN, np.float32)
+        std = np.asarray(CLIP_STD, np.float32)
+        size = self.model.cfg.vit.img_size
+        img = jnp.asarray((pixels - mean) / std, jnp.float32)
+        img = jax.image.resize(img, (size, size, 3), "bilinear")
+        spec = BatchSpec(
+            seq_len=self.seq_len, num_img_tokens=self.model.cfg.num_img_tokens
+        )
+        prompt = build_gen_batch(self.model.tokenizer, [instruction], spec)
+        batch = shard_batch(prompt, None)
+        batch["image"] = img[None]
+        tokens = np.asarray(
+            self._victim_generate(
+                self.model.params, batch, jax.random.PRNGKey(self.seed + step)
+            )
+        )[0]
+        ids = [int(t) for t in tokens]
+        eos = self.model.tokenizer.eos_token_id
+        if eos in ids:
+            ids = ids[: ids.index(eos)]
+        return clean_answer(
+            self.model.tokenizer.decode(ids, skip_special_tokens=True)
+        )
+
+    # ------------------------------------------------------------------
+    def run(self) -> Dict[str, Any]:
+        from certifiedgpt_tpu.agents.certify import SmoothedVQAAgentBase
+
+        dataset = self._dataset()
+        limit = int(self.max_images) if self.max_images else len(dataset)
+        limit = min(limit, len(dataset))
+        mean = np.asarray(CLIP_MEAN, np.float32)
+        std = np.asarray(CLIP_STD, np.float32)
+
+        rows: List[Dict[str, Any]] = []
+        results_path = os.path.join(self.output_dir, "attack_results.jsonl")
+        with open(results_path, "w") as sink:
+            for idx in range(limit):
+                item = dataset[idx]
+                target_item = dataset[(idx + 1) % len(dataset)]
+                target_text = self._target_text(target_item)
+                # de-normalize processor output back to [0,1] pixels
+                pixels = np.clip(
+                    np.asarray(item["image"]) * std + mean, 0.0, 1.0
+                ).astype(np.float32)
+
+                for enc in self.encoders:
+                    adv = self._attack_one(pixels, target_text, [enc], idx)
+                    row = self._score(
+                        idx, item, enc.name, pixels, adv, target_text
+                    )
+                    rows.append(row)
+                    sink.write(json.dumps(row) + "\n")
+                    sink.flush()
+                    self.logger.info(
+                        "attack[%d] backbone=%s success=%s d_sim=%.4f",
+                        idx, enc.name, row["success"],
+                        row["adv_similarity"] - row["clean_similarity"],
+                    )
+
+        summary = self._summarize(rows)
+        with open(
+            os.path.join(self.output_dir, "attack_summary.json"), "w"
+        ) as handle:
+            json.dump(summary, handle, indent=2)
+        self._write_ancova_csv(rows)
+        self.logger.info("attack summary: %s", summary)
+        return summary
+
+    # ------------------------------------------------------------------
+    def _dataset(self):
+        for name in self.config.datasets.keys():
+            builder_cls = registry.get_builder_class(name)
+            datasets = builder_cls().build_datasets()
+            for split in ("val", "test", "train"):
+                if split in datasets:
+                    return datasets[split]
+        raise RuntimeError("No dataset configured for attack eval")
+
+    @staticmethod
+    def _target_text(item) -> str:
+        if "gt_answers" in item and item["gt_answers"]:
+            return item["gt_answers"][0]
+        return item.get("answer", "a photo")
+
+    def _attack_one(self, pixels, target_text, encoders, idx) -> np.ndarray:
+        # target embedding per surrogate: encode the *target text holder's*
+        # image region is unavailable here, so use the text-conditioned
+        # hash target for tiny runs and the target item's image otherwise.
+        attack = make_pgd_attack(
+            encoders, self.epsilon, self.step_size, self.steps
+        )
+        x = jnp.asarray(pixels)[None]
+        targets = {}
+        for enc in encoders:
+            # feature target: embedding of the target *image* (AttackVLM
+            # matches image features of a target image). Use a fixed
+            # pseudo-target derived from the target text hash to stay
+            # deterministic when no target image is configured.
+            rng = np.random.default_rng(abs(hash(target_text)) % (2**31))
+            imgs = jax.image.resize(
+                x, (1, enc.image_size, enc.image_size, 3), "bilinear"
+            )
+            probe = enc.apply_fn(enc.params, (imgs - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD))
+            direction = rng.standard_normal(probe.shape[-1]).astype(np.float32)
+            targets[enc.name] = jnp.asarray(direction[None])
+        adv = np.asarray(attack(x, targets))[0]
+
+        if self.rgf_queries > 0:
+            text_enc = self.text_encoder
+            target_emb = text_enc([target_text])[0]
+            instruction = "<Img><ImageHere></Img> Describe this image."
+            step_counter = [0]
+
+            def victim_score(p):
+                step_counter[0] += 1
+                cap = self.caption(p, instruction, idx * 1000 + step_counter[0])
+                emb = text_enc([cap])[0]
+                return float(np.dot(emb, target_emb))
+
+            adv = rgf_refine(
+                victim_score, adv, pixels,
+                epsilon=self.epsilon,
+                queries=self.rgf_queries,
+                iters=self.rgf_iters,
+                seed=self.seed + idx,
+            )
+        return adv
+
+    def _score(self, idx, item, backbone, pixels, adv, target_text):
+        instruction = item.get(
+            "instruction_input", "<Img><ImageHere></Img> Describe this image."
+        )
+        clean_cap = self.caption(pixels, instruction, idx * 2)
+        adv_cap = self.caption(adv, instruction, idx * 2 + 1)
+        embs = self.text_encoder([clean_cap, adv_cap, target_text])
+        clean_sim = float(np.dot(embs[0], embs[2]))
+        adv_sim = float(np.dot(embs[1], embs[2]))
+        return {
+            "index": idx,
+            "question_id": int(item.get("question_id", idx)),
+            "backbone": backbone,
+            "sigma": self.noise_level,
+            "target_text": target_text,
+            "clean_caption": clean_cap,
+            "adv_caption": adv_cap,
+            "clean_similarity": clean_sim,
+            "adv_similarity": adv_sim,
+            "similarity": adv_sim,
+            "success": attack_success(clean_sim, adv_sim),
+            "linf": float(np.max(np.abs(adv - pixels))),
+        }
+
+    def _summarize(self, rows) -> Dict[str, Any]:
+        per_backbone = {}
+        for name in self.backbone_names:
+            sub = [r for r in rows if r["backbone"] == name]
+            if sub:
+                per_backbone[name] = sum(r["success"] for r in sub) / len(sub)
+        summary = {
+            "total": len(rows),
+            "sigma": self.noise_level,
+            "epsilon": self.epsilon,
+            "steps": self.steps,
+            "success_rate_per_backbone": per_backbone,
+            "overall_success_rate": (
+                sum(r["success"] for r in rows) / max(len(rows), 1)
+            ),
+        }
+        if len({r["backbone"] for r in rows}) > 1:
+            summary["ancova"] = ancova(rows)
+        return summary
+
+    def _write_ancova_csv(self, rows) -> None:
+        path = os.path.join(self.output_dir, "attack_ancova.csv")
+        with open(path, "w", newline="") as handle:
+            writer = csv.DictWriter(
+                handle,
+                fieldnames=[
+                    "index", "question_id", "backbone", "sigma",
+                    "clean_similarity", "adv_similarity", "success", "linf",
+                ],
+                extrasaction="ignore",
+            )
+            writer.writeheader()
+            for row in rows:
+                writer.writerow(row)

@@ -14,3 +14,4 @@ import certifiedgpt_tpu.optim  # noqa: F401
 import certifiedgpt_tpu.agents.finetune  # noqa: F401
 import certifiedgpt_tpu.agents.eval  # noqa: F401
 import certifiedgpt_tpu.agents.certify  # noqa: F401
+import certifiedgpt_tpu.attack.agent  # noqa: F401

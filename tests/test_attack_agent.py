@@ -1,0 +1,86 @@
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from certifiedgpt_tpu.common.config import Config
+from certifiedgpt_tpu import registration  # noqa: F401
+from certifiedgpt_tpu.agents.base import setup_agent
+
+
+@pytest.fixture()
+def attack_setup(tmp_path):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    questions, annotations = [], []
+    for i in range(3):
+        image_id = 4000 + i
+        arr = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"COCO_val2014_{image_id:012d}.jpg")
+        qid = i + 1
+        questions.append(
+            {"question_id": qid, "image_id": image_id, "question": f"what is {i}?"}
+        )
+        annotations.append(
+            {
+                "question_id": qid,
+                "image_id": image_id,
+                "answers": [
+                    {"answer": ["cat", "dog", "fish"][i], "answer_confidence": "yes"}
+                ],
+            }
+        )
+    (tmp_path / "q.json").write_text(json.dumps({"questions": questions}))
+    (tmp_path / "a.json").write_text(json.dumps({"annotations": annotations}))
+
+    return Config(
+        {
+            "model": {"arch": "minigpt4", "model_size": "tiny"},
+            "datasets": {
+                "evalvqav2": {
+                    "vis_processor": {
+                        "val": {"name": "blip2_image_val", "image_size": 28}
+                    },
+                    "build_info": {
+                        "images": {"storage": str(img_dir)},
+                        "questions": {"val": [str(tmp_path / "q.json")]},
+                        "annotations": {"val": [str(tmp_path / "a.json")]},
+                    },
+                }
+            },
+            "run": {
+                "agent": "image_text_attack",
+                "attack_backbones": ["vit_tiny", "rn_tiny"],
+                "attack_steps": 3,
+                "attack_epsilon": 0.03,
+                "rgf_queries": 0,
+                "max_images": 2,
+                "max_new_tokens": 3,
+                "seq_len": 48,
+                "noise_level": 0.0,
+                "output_dir": str(tmp_path / "out_attack"),
+                "seed": 5,
+            },
+        }
+    ), tmp_path
+
+
+def test_attack_agent_end_to_end(attack_setup):
+    config, tmp_path = attack_setup
+    agent = setup_agent(config)
+    summary = agent.run()
+    assert summary["total"] == 4  # 2 images x 2 backbones
+    assert set(summary["success_rate_per_backbone"]) == {"vit_tiny", "rn_tiny"}
+    assert "ancova" in summary
+    out = tmp_path / "out_attack"
+    assert (out / "attack_results.jsonl").exists()
+    assert (out / "attack_ancova.csv").exists()
+    rows = [
+        json.loads(line)
+        for line in (out / "attack_results.jsonl").read_text().splitlines()
+    ]
+    # perturbation respects the l-inf budget
+    for row in rows:
+        assert row["linf"] <= 0.03 + 1e-5
