@@ -142,29 +142,37 @@ def make_sample_fn(
         image = jnp.asarray(x, jnp.float32)
         labels = np.empty((num,), np.int64)
         base_key = jax.random.PRNGKey(seed)
-        done = 0
-        chunk = 0
-        while done < num:
-            key = jax.random.fold_in(base_key, chunk)
-            tokens = np.asarray(
-                gen(
-                    model.params,
-                    image,
-                    prompt["input_ids"],
-                    prompt["attention_mask"],
-                    prompt["img_pos"],
-                    key,
-                )
+        n_chunks = (num + mc_batch - 1) // mc_batch
+
+        # dispatch every chunk asynchronously (JAX queues them on device),
+        # then decode token ids on host while later chunks still execute —
+        # host string work overlaps device compute.
+        pending = [
+            gen(
+                model.params,
+                image,
+                prompt["input_ids"],
+                prompt["attention_mask"],
+                prompt["img_pos"],
+                jax.random.fold_in(base_key, chunk),
             )
+            for chunk in range(n_chunks)
+        ]
+        done = 0
+        eos = tokenizer.eos_token_id
+        for chunk_tokens in pending:
+            tokens = np.asarray(chunk_tokens)
             take = min(mc_batch, num - done)
             for i in range(take):
-                ids = [int(t) for t in tokens[i]]
-                if tokenizer.eos_token_id in ids:
-                    ids = ids[: ids.index(tokenizer.eos_token_id)]
-                text = tokenizer.decode(ids, skip_special_tokens=True)
-                labels[done + i] = vocab.label_of(text)
+                ids = tokens[i].tolist()
+                if eos in ids:
+                    ids = ids[: ids.index(eos)]
+                labels[done + i] = vocab.label_of(
+                    tokenizer.decode(ids, skip_special_tokens=True)
+                )
             done += take
-            chunk += 1
+            if done >= num:
+                break
         return labels
 
     return sample_fn
