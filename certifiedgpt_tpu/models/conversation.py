@@ -1,0 +1,181 @@
+"""Conversation prompt templates + interactive chat helper.
+
+Capability parity with the reference's conversation module
+(ref ``graphs/models/minigpt4/conversation/conversation.py:23-232``):
+the ``Conversation`` prompt builder with SINGLE/TWO separator styles,
+the three vision templates (Vicuna0 / LLama2 / minigptv2 — the eval
+agent uses minigptv2 with a blanked system prompt, ref
+``minigpt4_eval_agent.py:80-81``), and a ``Chat`` helper driving the
+jit-compiled decode instead of HF generate + CUDA streams. Stop-token
+handling lives inside the compiled decode loop (EOS masking in
+``models/minigpt4.generate``), so no StoppingCriteria class is needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+class SeparatorStyle(enum.Enum):
+    SINGLE = enum.auto()
+    TWO = enum.auto()
+
+
+@dataclasses.dataclass
+class Conversation:
+    system: str
+    roles: Tuple[str, str]
+    messages: List[List[Optional[str]]]
+    offset: int = 2
+    sep_style: SeparatorStyle = SeparatorStyle.SINGLE
+    sep: str = "###"
+    sep2: Optional[str] = None
+
+    def get_prompt(self) -> str:
+        if self.sep_style == SeparatorStyle.SINGLE:
+            out = self.system + self.sep
+            for role, message in self.messages:
+                out += role + message + self.sep if message else role
+            return out
+        if self.sep_style == SeparatorStyle.TWO:
+            seps = [self.sep, self.sep2 or ""]
+            out = self.system + seps[0]
+            for i, (role, message) in enumerate(self.messages):
+                out += role + message + seps[i % 2] if message else role
+            return out
+        raise ValueError(f"Invalid separator style: {self.sep_style}")
+
+    def append_message(self, role: str, message: Optional[str]) -> None:
+        self.messages.append([role, message])
+
+    def copy(self) -> "Conversation":
+        return Conversation(
+            system=self.system,
+            roles=self.roles,
+            messages=[[r, m] for r, m in self.messages],
+            offset=self.offset,
+            sep_style=self.sep_style,
+            sep=self.sep,
+            sep2=self.sep2,
+        )
+
+
+CONV_VISION_Vicuna0 = Conversation(
+    system=(
+        "Give the following image: <Img>ImageContent</Img>. "
+        "You will be able to see the image once I provide it to you. "
+        "Please answer my questions."
+    ),
+    roles=("Human: ", "Assistant: "),
+    messages=[],
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+)
+
+CONV_VISION_LLama2 = Conversation(
+    system=(
+        "Give the following image: <Img>ImageContent</Img>. "
+        "You will be able to see the image once I provide it to you. "
+        "Please answer my questions."
+    ),
+    roles=("<s>[INST] ", " [/INST] "),
+    messages=[],
+    sep_style=SeparatorStyle.SINGLE,
+    sep="",
+)
+
+CONV_VISION_minigptv2 = Conversation(
+    system="",
+    roles=("<s>[INST] ", " [/INST]"),
+    messages=[],
+    sep_style=SeparatorStyle.SINGLE,
+    sep="",
+)
+
+TEMPLATES = {
+    "vicuna0": CONV_VISION_Vicuna0,
+    "llama2": CONV_VISION_LLama2,
+    "minigptv2": CONV_VISION_minigptv2,
+}
+
+
+class Chat:
+    """Minimal interactive helper over the compiled generate path
+    (the reference's ``Chat`` ask/answer surface, CUDA-free)."""
+
+    def __init__(self, model, vis_processor, template: str = "minigptv2"):
+        self.model = model
+        self.vis_processor = vis_processor
+        self.conv = TEMPLATES[template].copy()
+        self.image: Optional[np.ndarray] = None
+
+    def upload_img(self, image) -> None:
+        self.image = np.asarray(self.vis_processor(image), np.float32)
+        self.conv.append_message(self.conv.roles[0], "<Img><ImageHere></Img>")
+
+    def ask(self, text: str) -> None:
+        if (
+            self.conv.messages
+            and self.conv.messages[-1][0] == self.conv.roles[0]
+            and self.conv.messages[-1][1]
+            and "</Img>" in self.conv.messages[-1][1]
+        ):
+            # merge the question into the image turn (reference behavior)
+            self.conv.messages[-1][1] = self.conv.messages[-1][1] + " " + text
+        else:
+            self.conv.append_message(self.conv.roles[0], text)
+
+    def answer(
+        self,
+        max_new_tokens: int = 20,
+        seq_len: int = 160,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_p: float = 0.9,
+        seed: int = 0,
+    ) -> str:
+        if self.image is None:
+            raise RuntimeError("upload_img must be called before answer")
+        import jax.numpy as jnp
+
+        from certifiedgpt_tpu.data.loader import shard_batch
+        from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch, clean_answer
+        from certifiedgpt_tpu.models.minigpt4 import generate
+
+        self.conv.append_message(self.conv.roles[1], None)
+        prompt = self.conv.get_prompt()
+        spec = BatchSpec(
+            seq_len=seq_len, num_img_tokens=self.model.cfg.num_img_tokens
+        )
+        batch = shard_batch(
+            build_gen_batch(self.model.tokenizer, [prompt], spec), None
+        )
+        batch["image"] = jnp.asarray(self.image)[None]
+        tokens = np.asarray(
+            generate(
+                self.model.params,
+                self.model.cfg,
+                batch,
+                max_new_tokens,
+                self.model.tokenizer.eos_token_id,
+                self.model.tokenizer.pad_token_id,
+                do_sample=do_sample,
+                temperature=temperature,
+                top_p=top_p,
+                rng=jax.random.PRNGKey(seed),
+            )
+        )[0]
+        ids = [int(t) for t in tokens]
+        eos = self.model.tokenizer.eos_token_id
+        if eos in ids:
+            ids = ids[: ids.index(eos)]
+        text = clean_answer(
+            self.model.tokenizer.decode(ids, skip_special_tokens=True)
+        )
+        self.conv.messages[-1][1] = text
+        return text

@@ -196,17 +196,62 @@ def minigpt4_loss(
 
 
 # ----------------------------------------------------------------------
-# greedy generation (fixed-shape lax.scan decode)
+# generation (fixed-shape lax.scan decode; greedy or nucleus sampling)
 # ----------------------------------------------------------------------
-def generate_greedy(
+def _select_token(
+    logits: jnp.ndarray,  # [B, V] fp32
+    *,
+    do_sample: bool,
+    temperature: float,
+    top_p: float,
+    rng: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    if not do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_p < 1.0:
+        # nucleus: keep the smallest prefix of sorted probs with mass >= top_p
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)  # index of last kept
+        cutoff = jnp.take_along_axis(
+            sorted_logits, cutoff_idx[:, None], axis=-1
+        )
+        logits = jnp.where(logits < cutoff, jnp.finfo(jnp.float32).min, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def _apply_repetition_penalty(
+    logits: jnp.ndarray, counts: jnp.ndarray, penalty: float
+) -> jnp.ndarray:
+    """HF convention: seen tokens' positive logits divide by the penalty,
+    negative logits multiply."""
+    if penalty == 1.0:
+        return logits
+    seen = counts > 0
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def generate(
     params: Dict[str, Any],
     cfg: MiniGPT4Config,
     batch: Dict[str, jnp.ndarray],
     max_new_tokens: int,
     eos_token_id: int,
     pad_token_id: int = 0,
+    *,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 0.9,
+    min_length: int = 1,
+    repetition_penalty: float = 1.0,
+    rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Batched greedy decode with a KV cache.
+    """Batched decode with a KV cache (greedy default; nucleus sampling,
+    repetition penalty and min-length per the knobs the reference's
+    generate surfaces, ref ``minigpt_base.py:374-388``).
 
     ``batch`` carries a *left-padded* prompt (image [B,H,W,C],
     input_ids [B,S], attention_mask [B,S], img_pos [B]), so every sample's
@@ -222,6 +267,8 @@ def generate_greedy(
     b, s, _ = embeds.shape
     total = s + max_new_tokens
     mask = batch["attention_mask"].astype(jnp.int32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     # rotary positions: left pads get position 0, real tokens count up.
     prompt_positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0).astype(jnp.int32)
@@ -244,10 +291,32 @@ def generate_greedy(
         kv_cache=cache,
         cache_offset=jnp.int32(0),
     )
-    next_token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    vocab = logits.shape[-1]
+    counts0 = jnp.zeros((b, vocab), jnp.int32)
+
+    def pick(step_logits, counts, t, key):
+        step_logits = _apply_repetition_penalty(
+            step_logits.astype(jnp.float32), counts, repetition_penalty
+        )
+        if min_length > 1:
+            step_logits = jnp.where(
+                (jnp.arange(vocab)[None, :] == eos_token_id) & (t + 1 < min_length),
+                jnp.finfo(jnp.float32).min,
+                step_logits,
+            )
+        return _select_token(
+            step_logits,
+            do_sample=do_sample,
+            temperature=temperature,
+            top_p=top_p,
+            rng=key,
+        )
+
+    first = pick(logits[:, -1, :], counts0, jnp.int32(0), jax.random.fold_in(rng, 0))
+    counts0 = counts0.at[jnp.arange(b), first].add(1)
 
     def step(carry, t):
-        cache, token, positions, done = carry
+        cache, token, positions, done, counts = carry
         tok_embed = embed_tokens(params["llama"], token[:, None])
         logits, _, cache = llama_apply(
             params["llama"],
@@ -258,17 +327,53 @@ def generate_greedy(
             kv_cache=cache,
             cache_offset=s + t,
         )
-        new_token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        key = jax.random.fold_in(rng, t + 1)
+        new_token = pick(logits[:, -1, :], counts, t + 1, key)
+        counts = counts.at[jnp.arange(b), new_token].add(1)
         out_token = jnp.where(done, pad_token_id, token)
         done = done | (token == eos_token_id)
         new_token = jnp.where(done, eos_token_id, new_token)
-        return (cache, new_token, positions + 1, done), out_token
+        return (cache, new_token, positions + 1, done, counts), out_token
 
     positions0 = prompt_len  # next rotary position per sample
     done0 = jnp.zeros((b,), jnp.bool_)
-    (_, _, _, _), tokens = lax.scan(
+    _, tokens = lax.scan(
         step,
-        (cache, next_token, positions0, done0),
+        (cache, first, positions0, done0, counts0),
         jnp.arange(max_new_tokens),
     )
     return tokens.T  # [B, max_new_tokens]
+
+
+def generate_greedy(
+    params: Dict[str, Any],
+    cfg: MiniGPT4Config,
+    batch: Dict[str, jnp.ndarray],
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int = 0,
+) -> jnp.ndarray:
+    """Greedy decode (the certification/eval hot path)."""
+    return generate(
+        params, cfg, batch, max_new_tokens, eos_token_id, pad_token_id,
+        do_sample=False, repetition_penalty=1.0, min_length=1,
+    )
+
+
+def rank_answers(
+    params: Dict[str, Any],
+    cfg: MiniGPT4Config,
+    batches: Dict[str, Dict[str, jnp.ndarray]],
+) -> jnp.ndarray:
+    """Rank candidate answers per sample by per-sample CE loss
+    (the reference's ``multi_select``, ref ``minigpt_base.py:450-467``).
+
+    ``batches`` maps candidate answer -> a train-layout batch where every
+    sample carries that candidate as the answer. Returns [B, n_candidates]
+    rank indices (best first).
+    """
+    losses = []
+    for _, cand_batch in batches.items():
+        losses.append(minigpt4_loss(params, cfg, cand_batch, reduction="none"))
+    all_losses = jnp.stack(losses, axis=-1)  # [B, n_cand]
+    return jnp.argsort(all_losses, axis=-1)

@@ -1,0 +1,136 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from certifiedgpt_tpu.data.text import BatchSpec, ByteTokenizer, build_gen_batch, build_train_batch
+from certifiedgpt_tpu.models.conversation import (
+    CONV_VISION_minigptv2,
+    Chat,
+    Conversation,
+    SeparatorStyle,
+)
+from certifiedgpt_tpu.models.minigpt4 import (
+    MiniGPT4Config,
+    generate,
+    init_minigpt4,
+    rank_answers,
+)
+from certifiedgpt_tpu.models.model_zoo import MiniGPT4Model
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = MiniGPT4Config.tiny()
+    params = init_minigpt4(jax.random.PRNGKey(0), cfg)
+    return MiniGPT4Model(cfg, params, ByteTokenizer())
+
+
+def _gen_batch(model, n=2):
+    tok = model.tokenizer
+    spec = BatchSpec(seq_len=32, num_img_tokens=model.cfg.num_img_tokens)
+    batch = build_gen_batch(
+        tok, [f"<Img><ImageHere></Img> q{i}?" for i in range(n)], spec
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch["image"] = jax.random.normal(
+        jax.random.PRNGKey(9), (n, model.cfg.vit.img_size, model.cfg.vit.img_size, 3)
+    )
+    return batch
+
+
+def test_sampling_modes(model):
+    batch = _gen_batch(model)
+    greedy = generate(
+        model.params, model.cfg, batch, 6, -1, do_sample=False
+    )
+    sampled_a = generate(
+        model.params, model.cfg, batch, 6, -1,
+        do_sample=True, temperature=2.0, top_p=0.9, rng=jax.random.PRNGKey(1),
+    )
+    sampled_b = generate(
+        model.params, model.cfg, batch, 6, -1,
+        do_sample=True, temperature=2.0, top_p=0.9, rng=jax.random.PRNGKey(2),
+    )
+    # same key deterministic
+    sampled_a2 = generate(
+        model.params, model.cfg, batch, 6, -1,
+        do_sample=True, temperature=2.0, top_p=0.9, rng=jax.random.PRNGKey(1),
+    )
+    np.testing.assert_array_equal(np.asarray(sampled_a), np.asarray(sampled_a2))
+    # different keys (very likely) differ; sampling differs from greedy at high T
+    assert not np.array_equal(np.asarray(sampled_a), np.asarray(sampled_b)) or not np.array_equal(
+        np.asarray(sampled_a), np.asarray(greedy)
+    )
+
+
+def test_min_length_blocks_eos(model):
+    tok = model.tokenizer
+    batch = _gen_batch(model, n=1)
+    out = generate(
+        model.params, model.cfg, batch, 5, tok.eos_token_id,
+        min_length=4,
+    )
+    ids = np.asarray(out)[0]
+    # eos cannot appear in the first 3 generated positions
+    assert tok.eos_token_id not in ids[:3].tolist()
+
+
+def test_repetition_penalty_changes_output(model):
+    batch = _gen_batch(model, n=1)
+    base = np.asarray(
+        generate(model.params, model.cfg, batch, 8, -1, repetition_penalty=1.0)
+    )
+    pen = np.asarray(
+        generate(model.params, model.cfg, batch, 8, -1, repetition_penalty=5.0)
+    )
+    # with an untrained model the argmax repeats; heavy penalty must break it
+    assert not np.array_equal(base, pen)
+
+
+def test_rank_answers_prefers_likely_candidate(model):
+    tok = model.tokenizer
+    spec = BatchSpec(seq_len=48, num_img_tokens=model.cfg.num_img_tokens, max_answer_len=8)
+    instructions = ["<Img><ImageHere></Img> what?"] * 2
+    image = jax.random.normal(
+        jax.random.PRNGKey(5), (2, model.cfg.vit.img_size, model.cfg.vit.img_size, 3)
+    )
+    batches = {}
+    for cand in ["cat", "dog"]:
+        b = build_train_batch(tok, instructions, [cand] * 2, spec)
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        b["image"] = image
+        batches[cand] = b
+    ranks = np.asarray(rank_answers(model.params, model.cfg, batches))
+    assert ranks.shape == (2, 2)
+    assert set(ranks[0].tolist()) == {0, 1}
+
+
+def test_conversation_prompt_building():
+    conv = Conversation(
+        system="sys",
+        roles=("Human: ", "Assistant: "),
+        messages=[],
+        sep_style=SeparatorStyle.SINGLE,
+        sep="###",
+    )
+    conv.append_message("Human: ", "hello")
+    conv.append_message("Assistant: ", None)
+    assert conv.get_prompt() == "sys###Human: hello###Assistant: "
+    # minigptv2 template: blank system, INST wrapping
+    conv2 = CONV_VISION_minigptv2.copy()
+    conv2.append_message(conv2.roles[0], "<Img><ImageHere></Img> hi")
+    conv2.append_message(conv2.roles[1], None)
+    assert conv2.get_prompt() == "<s>[INST] <Img><ImageHere></Img> hi [/INST]"
+
+
+def test_chat_end_to_end(model):
+    from certifiedgpt_tpu.data.processors import Blip2ImageEvalProcessor
+
+    chat = Chat(model, Blip2ImageEvalProcessor(image_size=model.cfg.vit.img_size))
+    rng = np.random.RandomState(0)
+    chat.upload_img(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8))
+    chat.ask("what is this?")
+    answer = chat.answer(max_new_tokens=4, seq_len=64)
+    assert isinstance(answer, str)
+    assert chat.conv.messages[-1][1] == answer
