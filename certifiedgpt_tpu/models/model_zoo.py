@@ -41,6 +41,58 @@ def _torch_load(path: str):
     return torch.load(path, map_location="cpu")
 
 
+def load_model(name: str, model_cfg=None):
+    """Model-zoo loader (ref ``graphs/models/minigpt4/models/__init__.py:26-199``
+    surface): resolve a registered model by name and build it from config."""
+    model_cls = registry.get_model_class(name)
+    if model_cls is None:
+        raise KeyError(
+            f"Unknown model '{name}'. Available: {registry.list_models()}"
+        )
+    from certifiedgpt_tpu.common.config import ConfigNode
+
+    return model_cls.from_config(model_cfg or ConfigNode({"model_size": "tiny"}))
+
+
+def load_preprocess(preprocess_cfg=None):
+    """Build (vis_processors, text_processors) dicts keyed by split."""
+    import certifiedgpt_tpu.data.processors  # noqa: F401 — registration
+
+    cfg = preprocess_cfg or {}
+    vis, text = {}, {}
+    for split, default in (("train", "blip2_image_train"), ("eval", "blip2_image_val")):
+        block = (cfg.get("vis_processor") or {}).get(split, {"name": default})
+        vis[split] = registry.get_processor_class(block["name"]).from_config(block)
+    for split in ("train", "eval"):
+        block = (cfg.get("text_processor") or {}).get(split, {"name": "blip_caption"})
+        text[split] = registry.get_processor_class(block["name"]).from_config(block)
+    return vis, text
+
+
+def load_model_and_preprocess(name: str, model_cfg=None, preprocess_cfg=None):
+    model = load_model(name, model_cfg)
+    vis, text = load_preprocess(preprocess_cfg)
+    return model, vis, text
+
+
+class ModelZoo:
+    """Pretty listing of registered models (ref ModelZoo)."""
+
+    def __repr__(self) -> str:
+        rows = ["=" * 40, f"{'Architectures':<30}", "=" * 40]
+        rows += [f"{name:<30}" for name in registry.list_models()]
+        return "\n".join(rows)
+
+    def __iter__(self):
+        return iter(registry.list_models())
+
+    def __len__(self):
+        return len(registry.list_models())
+
+
+model_zoo = ModelZoo()
+
+
 @registry.register_model("minigpt4")
 class MiniGPT4Model:
     """Holds (cfg, params, tokenizer); compute lives in
@@ -129,6 +181,11 @@ class MiniGPT4Model:
 
         model = AutoModelForCausalLM.from_pretrained(path)
         return convert_llama_state_dict(model.state_dict(), cfg)
+
+    def encode_img(self, images):
+        from certifiedgpt_tpu.models.minigpt4 import encode_img
+
+        return encode_img(self.params, self.cfg, images)
 
     @staticmethod
     def _load_projection(params: Dict[str, Any], sd: Dict[str, Any]) -> None:
