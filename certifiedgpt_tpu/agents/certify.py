@@ -98,6 +98,25 @@ class CertifyAgent(SmoothedVQAAgentBase):
         ]
 
     def run(self) -> Dict[str, Any]:
+        sigma_grid = self.run_cfg.get("sigma_grid")
+        if sigma_grid:
+            # multi-sigma certification sweep (BASELINE.json config #5):
+            # one summary per sigma, plus the combined grid.
+            sweep = {}
+            base_out = self.output_dir
+            for sigma in [float(s) for s in sigma_grid]:
+                self.sigma = sigma
+                self.output_dir = os.path.join(base_out, f"sigma_{sigma}")
+                os.makedirs(self.output_dir, exist_ok=True)
+                sweep[str(sigma)] = self._run_single()
+            self.output_dir = base_out
+            with open(os.path.join(base_out, "certify_sweep.json"), "w") as handle:
+                json.dump(sweep, handle, indent=2)
+            self.logger.info("sigma sweep complete: %s", list(sweep))
+            return {"sweep": sweep}
+        return self._run_single()
+
+    def _run_single(self) -> Dict[str, Any]:
         dataset = self.eval_dataset()
         limit = int(self.max_images) if self.max_images else len(dataset)
         rows: List[Dict[str, Any]] = []

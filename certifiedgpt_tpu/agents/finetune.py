@@ -174,8 +174,28 @@ class FinetuneAgent(BaseAgent):
         return shard_batch(arrays, self.mesh)
 
     # ------------------------------------------------------------------
+    def debug_graph_computation(self) -> Dict[str, Any]:
+        """Single-batch smoke run: one forward/backward/update + checkpoint
+        save (the reference's de-facto smoke test, ref
+        ``minigpt4_finetune_agent.py:236-263`` / SURVEY.md §4)."""
+        loaders = self.create_loaders()
+        batch = next(iter(loaders["train"]))
+        trainable, frozen = split_params(self.model.params, self.trainable_keys)
+        opt_state = self.optimizer.init(trainable)
+        dev_batch = self.device_batch(batch)
+        trainable, opt_state, loss = self._train_step(
+            trainable, opt_state, frozen, dev_batch, jax.random.PRNGKey(self.seed)
+        )
+        loss_f = float(loss)
+        self.logger.info("debug_graph_computation: loss=%.4f", loss_f)
+        self.save_agent_checkpoint("debug_ckpt", trainable, opt_state, epoch=0)
+        self.metrics.log_event(f"debug_graph_computation loss={loss_f:.4f}")
+        return {"loss": loss_f, "steps": 1}
+
     def run(self) -> Dict[str, Any]:
         run = self.run_cfg
+        if run.get("debug_graph_computation", False):
+            return self.debug_graph_computation()
         loaders = self.create_loaders()
         train_loader = loaders.get("train")
         val_loader = loaders.get("val") if run.get("has_val_split", True) else None

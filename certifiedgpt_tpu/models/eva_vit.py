@@ -45,6 +45,9 @@ class EvaViTConfig:
     mlp_hidden: int = 6144  # round(1408 * 4.3637)
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
+    # rematerialize each block on backward: trades ~depth x activation
+    # memory for recompute (jax.checkpoint; SURVEY.md hbm guidance)
+    remat: bool = False
 
     @property
     def grid(self) -> int:
@@ -159,8 +162,12 @@ def eva_vit_apply(
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(x.dtype)
 
+    block = _vit_block
+    if cfg.remat:
+        block = jax.checkpoint(_vit_block, static_argnums=(2,))
+
     def step(carry, lp):
-        return _vit_block(carry, lp, cfg), None
+        return block(carry, lp, cfg), None
 
     x, _ = lax.scan(step, x, params["layers"])
     return x

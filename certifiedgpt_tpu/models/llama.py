@@ -45,6 +45,8 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     # dtype of the (frozen) parameters; activations follow.
     dtype: Any = jnp.bfloat16
+    # rematerialize blocks on backward (jax.checkpoint)
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -205,9 +207,12 @@ def llama_apply(
     x = inputs_embeds.astype(cfg.dtype)
 
     if kv_cache is None:
+        block = _block
+        if cfg.remat:
+            block = jax.checkpoint(_block, static_argnums=(2,))
 
         def step(carry, lp):
-            y, _, _ = _block(carry, lp, cfg, cos, sin, positions, mask, None, None, None)
+            y, _, _ = block(carry, lp, cfg, cos, sin, positions, mask, None, None, None)
             return y, None
 
         x, _ = lax.scan(step, x, params["layers"])

@@ -66,6 +66,23 @@ def main(argv=None):
     setup_seeds(int(run.get("seed", 42)))
     registry.register("mode", args.mode)
 
+    # multi-host SPMD: the reference spawns per-core processes via
+    # xla.launch; the JAX equivalent is one process per host joining a
+    # jax.distributed cluster over DCN (SURVEY.md §2.8). Coordinator
+    # address etc. come from the TPU environment when unset.
+    if run.get("distributed", False):
+        import jax
+
+        if jax.process_count() == 1:
+            try:
+                jax.distributed.initialize()
+                logger.info(
+                    "jax.distributed initialized: process %d/%d",
+                    jax.process_index(), jax.process_count(),
+                )
+            except Exception as exc:
+                logger.warning("jax.distributed.initialize failed: %s", exc)
+
     logger.info("mode=%s agent=%s", args.mode, config.run.get("agent"))
     agent = setup_agent(config)
     try:

@@ -125,3 +125,23 @@ def test_predict_agent_end_to_end(eval_setup):
     assert summary["total"] == 2
     assert 0.0 <= summary["accuracy"] <= 1.0
     assert (tmp_path / "out_image_text_predict" / "predict_summary.json").exists()
+
+
+def test_certify_sigma_sweep(eval_setup):
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            certify_n0=4,
+            certify_n=8,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=1,
+            sigma_grid=[0.25, 0.5],
+        )
+    )
+    result = agent.run()
+    assert set(result["sweep"].keys()) == {"0.25", "0.5"}
+    out = tmp_path / "out_image_text_certify"
+    assert (out / "certify_sweep.json").exists()
+    assert (out / "sigma_0.25" / "certify_results.jsonl").exists()

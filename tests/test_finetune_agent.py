@@ -132,3 +132,13 @@ def test_weight_decay_mask_rules():
     assert mask["llama_proj"]["kernel"] is True
     assert mask["llama_proj"]["bias"] is False
     assert mask["ln_vision"]["scale"] is False
+
+
+def test_debug_graph_computation_mode(tiny_run):
+    config, tmp_path = tiny_run
+    config.config._data["run"]["debug_graph_computation"] = True
+    agent = setup_agent(config)
+    result = agent.run()
+    assert result["steps"] == 1
+    assert np.isfinite(result["loss"])
+    assert (tmp_path / "out" / "debug_ckpt.npz").exists()
