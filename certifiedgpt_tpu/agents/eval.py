@@ -35,6 +35,22 @@ from certifiedgpt_tpu.vqa_tools.vqa import VQA
 from certifiedgpt_tpu.vqa_tools.vqa_eval import VQAEval, normalize_answer
 
 
+def maybe_bertscore(predictions, references, logger):
+    """BERTScore F1 when the optional ``bert_score`` package exists
+    (ref ``minigpt4_eval_agent.py:159-166``); None otherwise."""
+    try:
+        from bert_score import score as bert_score_fn
+    except ImportError:
+        logger.warning("bert_score not installed; skipping BERTScore")
+        return None
+    try:
+        _, _, f1 = bert_score_fn(predictions, references, lang="en")
+        return float(f1.mean())
+    except Exception as exc:
+        logger.warning("BERTScore failed: %s", exc)
+        return None
+
+
 def token_f1(prediction: str, reference: str) -> float:
     """Token-level F1 (ref ``minigpt4_eval_agent.py:129-149``)."""
     pred = normalize_answer(prediction).split()
@@ -147,6 +163,7 @@ class EvalAgent(BaseAgent):
                 )
             )
             answers = self.decode_tokens(tokens)
+            gt_lists = batch.get("gt_answers", [[] for _ in range(n)])
             for i, ans in enumerate(answers):
                 qid = int(batch["question_id"][i])
                 predictions.append({"question_id": qid, "answer": ans})
@@ -158,7 +175,7 @@ class EvalAgent(BaseAgent):
                         "answer_type": "unknown",
                         "answers": [
                             {"answer": a, "answer_id": j + 1}
-                            for j, a in enumerate(batch["gt_answers"][i])
+                            for j, a in enumerate(gt_lists[i])
                         ],
                     }
                 )
@@ -169,6 +186,17 @@ class EvalAgent(BaseAgent):
                         "question": batch.get("question", [""] * n)[i],
                     }
                 )
+
+        if not gt_annotations or not gt_annotations[0]["answers"]:
+            # test split (no ground truth): emit the official VQA
+            # submission format and stop (ref testvqav2 flow).
+            path = os.path.join(self.output_dir, "vqa_test_predictions.json")
+            with open(path, "w") as handle:
+                json.dump(predictions, handle)
+            self.logger.info(
+                "wrote %d test predictions to %s", len(predictions), path
+            )
+            return {"num_questions": len(predictions), "predictions_path": path}
 
         # official protocol scoring
         vqa = VQA(
@@ -204,6 +232,14 @@ class EvalAgent(BaseAgent):
             counts.most_common(1)[0] if counts else ("", 0)
         )
 
+        bert_f1 = None
+        if self.run_cfg.get("bertscore", False):
+            bert_f1 = maybe_bertscore(
+                [p["answer"] for p in predictions],
+                [gt_first[p["question_id"]] for p in predictions],
+                self.logger,
+            )
+
         results = {
             "overall_accuracy": accuracy["overall"],
             "per_answer_type": accuracy["perAnswerType"],
@@ -217,6 +253,8 @@ class EvalAgent(BaseAgent):
             "num_questions": len(predictions),
             "noise_level": self.noise_level,
         }
+        if bert_f1 is not None:
+            results["bertscore_f1"] = bert_f1
         with open(
             os.path.join(self.output_dir, "eval_results.json"), "w"
         ) as handle:

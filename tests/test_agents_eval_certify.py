@@ -145,3 +145,56 @@ def test_certify_sigma_sweep(eval_setup):
     out = tmp_path / "out_image_text_certify"
     assert (out / "certify_sweep.json").exists()
     assert (out / "sigma_0.25" / "certify_results.jsonl").exists()
+
+
+def test_eval_agent_test_split_predictions(tmp_path):
+    """testvqav2 (no ground truth) emits the VQA submission format."""
+    import json as _json
+
+    from PIL import Image as _Image
+
+    img_dir = tmp_path / "timages"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    questions = []
+    for i in range(3):
+        image_id = 7000 + i
+        _Image.fromarray(
+            rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        ).save(img_dir / f"COCO_test2015_{image_id:012d}.jpg")
+        questions.append(
+            {"question_id": i + 1, "image_id": image_id, "question": f"q{i}?"}
+        )
+    (tmp_path / "tq.json").write_text(_json.dumps({"questions": questions}))
+
+    config = Config(
+        {
+            "model": {"arch": "minigpt4", "model_size": "tiny"},
+            "datasets": {
+                "testvqav2": {
+                    "vis_processor": {
+                        "test": {"name": "blip2_image_val", "image_size": 28}
+                    },
+                    "build_info": {
+                        "images": {"storage": str(img_dir)},
+                        "questions": {"test": [str(tmp_path / "tq.json")]},
+                    },
+                }
+            },
+            "run": {
+                "agent": "image_text_eval",
+                "batch_size": 2,
+                "seq_len": 48,
+                "max_new_tokens": 3,
+                "output_dir": str(tmp_path / "out_test_eval"),
+            },
+        }
+    )
+    agent = setup_agent(config)
+    result = agent.run()
+    assert result["num_questions"] == 3
+    preds = _json.loads(
+        (tmp_path / "out_test_eval" / "vqa_test_predictions.json").read_text()
+    )
+    assert {p["question_id"] for p in preds} == {1, 2, 3}
+    assert all("answer" in p for p in preds)
