@@ -49,6 +49,9 @@ class BaseAgent:
         run = self.run_cfg
         schedule = schedule if schedule is not None else build_lr_schedule(run)
         self.lr_schedule = schedule
+        # host-stateful schedulers (reduce_lr_on_plateau) mutate the lr via
+        # optimizer-state hyperparams between jitted steps
+        self.stateful_lr = hasattr(schedule, "step_metric")
         return make_optimizer(
             schedule,
             weight_decay=float(run.get("weight_decay", 0.05)),
@@ -56,6 +59,7 @@ class BaseAgent:
             beta2=float(run.get("beta2", 0.999)),
             accumulate_steps=int(run.get("accumulated_gradients", 1)),
             max_grad_norm=run.get("max_grad_norm"),
+            stateful_lr=self.stateful_lr,
         )
 
     # ------------------------------------------------------------------

@@ -272,6 +272,14 @@ class FinetuneAgent(BaseAgent):
                 self.record_loss("val", val_loss)
                 self.logger.info("epoch %d val_loss %.4f", epoch, val_loss)
 
+            if self.stateful_lr:
+                from certifiedgpt_tpu.optim import set_learning_rate
+
+                monitored_now = val_loss if val_loss is not None else train_loss
+                new_lr = self.lr_schedule.step_metric(monitored_now)
+                opt_state = set_learning_rate(opt_state, new_lr)
+                self.logger.info("plateau scheduler lr -> %.2e", new_lr)
+
             if self.wandb_run is not None:
                 self.wandb_run.log(
                     {

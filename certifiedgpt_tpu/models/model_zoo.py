@@ -41,6 +41,23 @@ def _torch_load(path: str):
     return torch.load(path, map_location="cpu")
 
 
+def _resolve(path) -> Optional[str]:
+    """URL-or-path -> existing local path, else None
+    (ref ``base_model.py:41-68`` URL/file checkpoint loading)."""
+    if not path:
+        return None
+    from certifiedgpt_tpu.common.utils import is_url, resolve_checkpoint
+
+    path = str(path)
+    if is_url(path):
+        try:
+            return resolve_checkpoint(path)
+        except Exception as exc:
+            get_logger().warning("checkpoint download failed (%s): %s", path, exc)
+            return None
+    return path if os.path.exists(path) else None
+
+
 def load_model(name: str, model_cfg=None):
     """Model-zoo loader (ref ``graphs/models/minigpt4/models/__init__.py:26-199``
     surface): resolve a registered model by name and build it from config."""
@@ -136,17 +153,19 @@ class MiniGPT4Model:
                 )
             tokenizer = ByteTokenizer()
 
-        vit_path = model_cfg.get("eva_vit_g_pth") or model_cfg.get("vit_ckpt")
-        if vit_path and os.path.exists(str(vit_path)):
+        vit_path = _resolve(
+            model_cfg.get("eva_vit_g_pth") or model_cfg.get("vit_ckpt")
+        )
+        if vit_path:
             logger.info("Loading EVA ViT weights from %s", vit_path)
             params["vit"] = convert_eva_vit_state_dict(
                 _torch_load(str(vit_path)), cfg.vit
             )
 
-        qformer_path = model_cfg.get("q_former_model") or model_cfg.get(
-            "qformer_ckpt"
+        qformer_path = _resolve(
+            model_cfg.get("q_former_model") or model_cfg.get("qformer_ckpt")
         )
-        if qformer_path and os.path.exists(str(qformer_path)):
+        if qformer_path:
             logger.info("Loading Q-Former weights from %s", qformer_path)
             sd = _torch_load(str(qformer_path))
             sd = sd.get("model", sd)
@@ -164,8 +183,8 @@ class MiniGPT4Model:
             params["qformer"] = converted
 
         # stage-2 MiniGPT-4 checkpoint: llama_proj (+ possibly ln_vision)
-        ckpt = model_cfg.get("ckpt") or model_cfg.get("minigpt4_ckpt")
-        if ckpt and os.path.exists(str(ckpt)):
+        ckpt = _resolve(model_cfg.get("ckpt") or model_cfg.get("minigpt4_ckpt"))
+        if ckpt:
             logger.info("Loading MiniGPT-4 stage-2 checkpoint from %s", ckpt)
             sd = _torch_load(str(ckpt))
             sd = sd.get("model_state_dict", sd.get("model", sd))

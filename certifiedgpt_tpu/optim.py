@@ -94,6 +94,61 @@ class ConstantLR:
         return jnp.full((), self.init_lr, jnp.float32)
 
 
+@registry.register_lr_scheduler("reduce_lr_on_plateau")
+class ReduceLROnPlateau:
+    """Stateful plateau scheduler (the reference's ReduceLROnPlateau
+    variant, ref ``agents/base.py:197-211``): the agent reports the
+    monitored metric each epoch via ``step_metric`` and the current lr is
+    read through a mutable host-side scale that multiplies ``init_lr``.
+
+    Implemented as a schedule closure over mutable state: optax re-reads
+    the schedule every optimizer step, and the scale only changes between
+    jitted steps (at epoch boundaries), so no recompilation occurs.
+    """
+
+    def __init__(
+        self,
+        init_lr: float,
+        min_lr: float = 0.0,
+        factor: float = 0.1,
+        plateau_patience: int = 2,
+        threshold: float = 1e-4,
+        **_unused,
+    ):
+        self.init_lr = float(init_lr)
+        self.min_lr = float(min_lr)
+        self.factor = float(factor)
+        self.patience = int(plateau_patience)
+        self.threshold = float(threshold)
+        self._scale = 1.0
+        self._best = float("inf")
+        self._bad = 0
+
+    @property
+    def current_lr(self) -> float:
+        return max(self.init_lr * self._scale, self.min_lr)
+
+    def step_metric(self, value: float) -> float:
+        """Report the monitored metric (lower is better); returns the lr."""
+        if value < self._best - self.threshold:
+            self._best = value
+            self._bad = 0
+        else:
+            self._bad += 1
+            if self._bad > self.patience:
+                self._scale *= self.factor
+                self._bad = 0
+        return self.current_lr
+
+    def __call__(self, step):
+        # NOTE: only valid at optimizer-*init* time. Inside a jitted train
+        # step a Python-closure lr would be baked as a constant, so
+        # stateful schedules must flow through optax.inject_hyperparams —
+        # make_optimizer(stateful_lr=True) + set_learning_rate handle it.
+        del step
+        return jnp.float32(self.current_lr)
+
+
 def make_optimizer(
     schedule,
     weight_decay: float = 0.05,
@@ -101,23 +156,62 @@ def make_optimizer(
     beta2: float = 0.999,
     accumulate_steps: int = 1,
     max_grad_norm: Optional[float] = None,
+    stateful_lr: bool = False,
 ) -> optax.GradientTransformation:
+    """AdamW with the reference's decay split; ``stateful_lr`` routes the
+    learning rate through ``inject_hyperparams`` so host-side schedulers
+    (reduce_lr_on_plateau) can mutate it between jitted steps via
+    ``set_learning_rate``."""
     chain = []
     if max_grad_norm:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
-    chain.append(
-        optax.adamw(
+    if stateful_lr:
+        init_lr = float(schedule(0))
+        adamw = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=init_lr,
+            b1=beta1,
+            b2=beta2,
+            weight_decay=weight_decay,
+            mask=weight_decay_mask,
+        )
+    else:
+        adamw = optax.adamw(
             learning_rate=schedule,
             b1=beta1,
             b2=beta2,
             weight_decay=weight_decay,
             mask=weight_decay_mask,
         )
-    )
+    chain.append(adamw)
     tx = optax.chain(*chain)
     if accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Rewrite the injected ``learning_rate`` hyperparam anywhere in a
+    (possibly chained / MultiSteps-wrapped) optimizer state."""
+    import jax
+
+    def rewrite(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            new_h = dict(state.hyperparams)
+            new_h["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return state._replace(hyperparams=new_h)
+        if isinstance(state, tuple) and not hasattr(state, "_fields"):
+            return tuple(rewrite(s) for s in state)
+        if hasattr(state, "_fields"):
+            updates = {}
+            for field in state._fields:
+                value = getattr(state, field)
+                new_value = rewrite(value)
+                if new_value is not value:
+                    updates[field] = new_value
+            return state._replace(**updates) if updates else state
+        return state
+
+    return rewrite(opt_state)
 
 
 def build_lr_schedule(run_cfg) -> Any:
@@ -135,4 +229,7 @@ def build_lr_schedule(run_cfg) -> Any:
         warmup_steps=int(run_cfg.get("warmup_steps", 0)),
         warmup_start_lr=float(run_cfg.get("warmup_start_lr", -1)),
         warmup_max_lr=float(run_cfg.get("warmup_max_lr", 0.0)),
+        factor=float(run_cfg.get("plateau_factor", 0.1)),
+        plateau_patience=int(run_cfg.get("plateau_patience", 2)),
+        threshold=float(run_cfg.get("plateau_threshold", 1e-4)),
     )

@@ -142,3 +142,28 @@ def test_debug_graph_computation_mode(tiny_run):
     assert result["steps"] == 1
     assert np.isfinite(result["loss"])
     assert (tmp_path / "out" / "debug_ckpt.npz").exists()
+
+
+def test_reduce_lr_on_plateau_scheduler():
+    from certifiedgpt_tpu.optim import (
+        ReduceLROnPlateau,
+        make_optimizer,
+        set_learning_rate,
+    )
+    import jax.numpy as jnp
+    import optax
+
+    sched = ReduceLROnPlateau(init_lr=1e-3, factor=0.1, plateau_patience=1)
+    assert sched.step_metric(1.0) == pytest.approx(1e-3)
+    assert sched.step_metric(1.0) == pytest.approx(1e-3)  # bad epoch 1
+    assert sched.step_metric(1.0) == pytest.approx(1e-4)  # patience hit
+    assert sched.step_metric(0.5) == pytest.approx(1e-4)  # improvement holds
+
+    params = {"w": jnp.ones((4, 4))}
+    tx = make_optimizer(sched, stateful_lr=True, accumulate_steps=2)
+    state = tx.init(params)
+    grads = {"w": jnp.ones((4, 4))}
+    state2 = set_learning_rate(state, 5e-5)
+    updates, state3 = tx.update(grads, state2, params)
+    # the update path must still work after lr rewrite
+    optax.apply_updates(params, updates)
