@@ -78,6 +78,10 @@ class EvalAgent(BaseAgent):
         self.noise_dist = str(run.get("noise_dist", "gaussian"))
         self.seed = int(run.get("seed", 42))
 
+        # conversation wrapping (ref eval agent uses CONV_VISION_minigptv2
+        # with a blanked system prompt, ref minigpt4_eval_agent.py:80-81)
+        self.conv_template = run.get("conv_template")
+
         finetuned = self.load_finetuned(
             {"llama_proj": self.model.params["llama_proj"]}
         )
@@ -85,6 +89,20 @@ class EvalAgent(BaseAgent):
             self.model.params["llama_proj"] = finetuned["llama_proj"]
 
         self._generate = self._build_generate()
+
+    def wrap_instructions(self, instructions):
+        if not self.conv_template:
+            return instructions
+        from certifiedgpt_tpu.models.conversation import TEMPLATES
+
+        out = []
+        for inst in instructions:
+            conv = TEMPLATES[str(self.conv_template)].copy()
+            conv.system = ""
+            conv.append_message(conv.roles[0], inst)
+            conv.append_message(conv.roles[1], None)
+            out.append(conv.get_prompt())
+        return out
 
     def _build_generate(self):
         cfg = self.model.cfg
@@ -145,7 +163,9 @@ class EvalAgent(BaseAgent):
 
         for step, batch in enumerate(loader):
             text = build_gen_batch(
-                self.model.tokenizer, batch["instruction_input"], spec
+                self.model.tokenizer,
+                self.wrap_instructions(batch["instruction_input"]),
+                spec,
             )
             n = batch["image"].shape[0]
             n_data = self.mesh.shape.get("data", 1)

@@ -190,6 +190,49 @@ class AttackAgent(BaseAgent):
         return encoders
 
     def _build_text_encoder(self):
+        """Real CLIP text tower + tokenizer when ``clip_model`` points at an
+        HF CLIP dir; bag-of-words hash fallback otherwise."""
+        clip_dir = self.run_cfg.get("clip_model")
+        if clip_dir and os.path.exists(str(clip_dir)):
+            try:
+                from transformers import CLIPModel, CLIPTokenizerFast
+
+                from certifiedgpt_tpu.attack.clip import convert_hf_clip
+
+                hf = CLIPModel.from_pretrained(str(clip_dir))
+                tok = CLIPTokenizerFast.from_pretrained(str(clip_dir))
+                tcfg_hf = hf.config.text_config
+                tcfg = ClipTextConfig(
+                    vocab_size=tcfg_hf.vocab_size,
+                    max_len=tcfg_hf.max_position_embeddings,
+                    hidden_size=tcfg_hf.hidden_size,
+                    num_layers=tcfg_hf.num_hidden_layers,
+                    num_heads=tcfg_hf.num_attention_heads,
+                    intermediate_size=tcfg_hf.intermediate_size,
+                    projection_dim=hf.config.projection_dim,
+                )
+                vit_dummy = ClipViTConfig.tiny()
+                text_params = convert_hf_clip(
+                    hf.state_dict(), vit_dummy, tcfg
+                )["text"]
+
+                fn = jax.jit(lambda ids: clip_text(text_params, tcfg, ids))
+
+                def encode(texts):
+                    batch = tok(
+                        texts, padding="max_length", truncation=True,
+                        max_length=tcfg.max_len, return_tensors="np",
+                    )
+                    embs = np.asarray(fn(jnp.asarray(batch["input_ids"])))
+                    norm = np.linalg.norm(embs, axis=-1, keepdims=True)
+                    return embs / np.maximum(norm, 1e-8)
+
+                self.logger.info("CLIP text encoder loaded from %s", clip_dir)
+                return encode
+            except Exception as exc:
+                self.logger.warning(
+                    "CLIP text encoder load failed (%s); hash fallback", exc
+                )
         return _HashTextEncoder()
 
     def _build_victim(self):

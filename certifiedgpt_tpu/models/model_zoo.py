@@ -195,7 +195,28 @@ class MiniGPT4Model:
     # ------------------------------------------------------------------
     @staticmethod
     def _load_llama(path: str, cfg: LlamaConfig) -> Dict[str, Any]:
-        """Load an HF LLaMA dir (safetensors or torch shards)."""
+        """Load an HF LLaMA dir.
+
+        Prefers streaming tensors straight out of safetensors shards —
+        peak host memory is one tensor, not the whole 13 GB model the
+        reference pays per process (SURVEY.md §3.4). Falls back to
+        ``from_pretrained`` for torch-pickle-only checkpoints.
+        """
+        import glob
+
+        st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+        if st_files:
+            from safetensors import safe_open
+
+            # framework="pt": torch tensors view bf16 shards without copy;
+            # the converter upcasts per-tensor.
+            sd: Dict[str, Any] = {}
+            for file in st_files:
+                handle = safe_open(file, framework="pt")
+                for key in handle.keys():
+                    sd[key] = handle.get_tensor(key)
+            return convert_llama_state_dict(sd, cfg)
+
         from transformers import AutoModelForCausalLM
 
         model = AutoModelForCausalLM.from_pretrained(path)

@@ -134,3 +134,14 @@ def test_chat_end_to_end(model):
     answer = chat.answer(max_new_tokens=4, seq_len=64)
     assert isinstance(answer, str)
     assert chat.conv.messages[-1][1] == answer
+
+
+def test_eval_conv_template_wrapping():
+    from certifiedgpt_tpu.agents.eval import EvalAgent
+
+    class Dummy(EvalAgent):
+        def __init__(self):  # bypass model build
+            self.conv_template = "minigptv2"
+
+    wrapped = Dummy().wrap_instructions(["<Img><ImageHere></Img> q?"])
+    assert wrapped == ["<s>[INST] <Img><ImageHere></Img> q? [/INST]"]
