@@ -48,6 +48,9 @@ class EvaViTConfig:
     # rematerialize each block on backward: trades ~depth x activation
     # memory for recompute (jax.checkpoint; SURVEY.md hbm guidance)
     remat: bool = False
+    # attention implementation: "xla" (default; XLA's fused lowering) or
+    # "flash" (the Pallas online-softmax kernel in ops/flash_attention)
+    attn_impl: str = "xla"
 
     @property
     def grid(self) -> int:
@@ -141,7 +144,12 @@ def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.nda
     q = q.reshape(b, s, h, dh)
     k = k.reshape(b, s, h, dh)
     v = v.reshape(b, s, h, dh)
-    attn = multi_head_attention(q, k, v)
+    if cfg.attn_impl == "flash":
+        from certifiedgpt_tpu.ops.flash_attention import flash_attention
+
+        attn = flash_attention(q, k, v)
+    else:
+        attn = multi_head_attention(q, k, v)
     x = x + L.dense(lp["proj"], attn.reshape(b, s, d))
 
     hidden = L.layer_norm(lp["norm2"], x, cfg.layer_norm_eps)

@@ -1,0 +1,194 @@
+"""Flash attention (Pallas TPU kernel).
+
+Online-softmax attention that never materializes the [S, S] score matrix
+in HBM — the classic flash recurrence tiled for the MXU. Motivation: the
+EVA ViT-g tower runs 1025-token sequences at Monte-Carlo batch sizes
+(certification) and batch 48+ (training); unfused attention would stream
+B*H*S*S fp32 scores through HBM per layer.
+
+Design:
+- inputs are laid out [BH, S, D] (batch*heads flattened) with D padded to
+  the 128-lane width by the wrapper; padded D columns are zero so they
+  add nothing to q.k or the output.
+- grid = (BH, q_tiles, k_tiles), k innermost. The running max ``m``,
+  normalizer ``l`` and output accumulator live in VMEM scratch that
+  persists across the sequential k iterations of one (bh, q_tile).
+- optional causal masking (for decoder prefill) and a sequence-length
+  mask for the padded tail tile, both computed from static sizes.
+- fp32 accumulation throughout; inputs may be bf16.
+
+The public wrapper ``flash_attention(q, k, v, causal=...)`` takes the
+framework's [B, S, H, D] convention and handles padding/reshaping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref,  # [1, TQ, D]
+    k_ref,  # [1, TK, D]
+    v_ref,  # [1, TK, D]
+    out_ref,  # [1, TQ, D]
+    m_ref,  # [TQ, 1] scratch
+    l_ref,  # [TQ, 1] scratch
+    acc_ref,  # [TQ, D] scratch
+    *,
+    seq_len: int,
+    tile_q: int,
+    tile_k: int,
+    causal: bool,
+    scale: float,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [TQ, D]
+    k = k_ref[0].astype(jnp.float32)  # [TK, D]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TQ, TK]
+
+    # mask the padded tail and (optionally) the causal future
+    q_pos = qi * tile_q + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_q, tile_k), 0
+    )
+    k_pos = ki * tile_k + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_q, tile_k), 1
+    )
+    mask = k_pos < seq_len
+    if causal:
+        mask = mask & (k_pos <= q_pos)
+    scores = jnp.where(mask, scores, _NEG_INF)
+
+    m_prev = m_ref[:]  # [TQ, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+    correction = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)  # [TQ, TK]
+    l_new = l_ref[:] * correction + jnp.sum(p, axis=-1, keepdims=True)
+
+    v = v_ref[0].astype(jnp.float32)  # [TK, D]
+    pv = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TQ, D]
+    acc_ref[:] = acc_ref[:] * correction + pv
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(ki == num_k - 1)
+    def _finalize():
+        out_ref[0] = (
+            acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        ).astype(out_ref.dtype)
+
+
+def _flash_bhsd(
+    q: jnp.ndarray,  # [BH, S_pad, D_pad]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    seq_len: int,
+    causal: bool,
+    scale: float,
+    tile_q: int,
+    tile_k: int,
+) -> jnp.ndarray:
+    bh, s_pad, d = q.shape
+    num_q = s_pad // tile_q
+    num_k = s_pad // tile_k
+    kernel = functools.partial(
+        _flash_kernel,
+        seq_len=seq_len,
+        tile_q=tile_q,
+        tile_k=tile_k,
+        causal=causal,
+        scale=scale,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(bh, num_q, num_k),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_q, d), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_k, d), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_k, d), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_q, d), lambda b, i, j: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, 1), jnp.float32),
+            pltpu.VMEM((tile_q, 1), jnp.float32),
+            pltpu.VMEM((tile_q, d), jnp.float32),
+        ],
+    )(q, k, v)
+
+
+def flash_attention(
+    q: jnp.ndarray,  # [B, S, H, D]
+    k: jnp.ndarray,  # [B, S, H, D]   (self-attention: same S)
+    v: jnp.ndarray,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    tile_q: int = 128,
+    tile_k: int = 128,
+    interpret_fallback: bool = True,
+) -> jnp.ndarray:
+    """Self-attention via the flash kernel; [B, S, H, D] in and out.
+
+    Head dim and sequence pad to the TPU tile grid internally. On non-TPU
+    backends falls back to the plain fused-XLA attention op.
+    """
+    if jax.default_backend() != "tpu" and interpret_fallback:
+        from certifiedgpt_tpu.ops.attention import multi_head_attention
+
+        mask = None
+        if causal:
+            s = q.shape[1]
+            mask = jnp.tril(jnp.ones((s, s), jnp.bool_))[None, None]
+        return multi_head_attention(q, k, v, mask, scale=scale)
+
+    b, s, h, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+
+    d_pad = int(np.ceil(d / _LANES) * _LANES)
+    s_pad = int(np.ceil(s / tile_q) * tile_q)
+    s_pad = int(np.ceil(s_pad / tile_k) * tile_k)
+
+    def prep(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, d_pad - d)))
+
+    out = _flash_bhsd(
+        prep(q), prep(k), prep(v), s, causal, float(scale), tile_q, tile_k
+    )
+    out = out[:, :s, :d].reshape(b, h, s, d)
+    return jnp.transpose(out, (0, 2, 1, 3))

@@ -1,0 +1,56 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from certifiedgpt_tpu.ops.attention import multi_head_attention
+from certifiedgpt_tpu.ops.flash_attention import flash_attention
+
+
+def test_flash_fallback_matches_reference_on_cpu():
+    """On non-TPU backends the wrapper falls back to the XLA op."""
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 64, 4, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 64, 4, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 64, 4, 32).astype(np.float32))
+    ref = multi_head_attention(q, k, v)
+    out = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    mask = jnp.tril(jnp.ones((64, 64), bool))[None, None]
+    ref_c = multi_head_attention(q, k, v, mask)
+    out_c = flash_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c), atol=1e-5)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Pallas kernel needs TPU"
+)
+def test_flash_kernel_matches_reference_on_tpu():
+    rng = np.random.RandomState(0)
+    for (b, s, h, d, causal) in [(2, 200, 4, 88, False), (2, 333, 4, 64, True)]:
+        q = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+        mask = jnp.tril(jnp.ones((s, s), bool))[None, None] if causal else None
+        ref = multi_head_attention(q, k, v, mask)
+        out = flash_attention(q, k, v, causal=causal, interpret_fallback=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-2, rtol=1e-2
+        )
+
+
+def test_vit_flash_config_runs():
+    import dataclasses
+
+    from certifiedgpt_tpu.models.eva_vit import (
+        EvaViTConfig,
+        eva_vit_apply,
+        init_eva_vit,
+    )
+
+    cfg = dataclasses.replace(EvaViTConfig.tiny(), attn_impl="flash")
+    params = init_eva_vit(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.img_size, cfg.img_size, 3))
+    out = eva_vit_apply(params, cfg, imgs)
+    assert out.shape == (2, cfg.seq_len, cfg.embed_dim)
