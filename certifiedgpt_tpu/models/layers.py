@@ -48,8 +48,18 @@ def init_dense(
 
 
 def dense(params, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_q" in params:
+        # weight-only int8 (ops/quantization.py): dequantize on the fly —
+        # XLA fuses convert+scale into the matmul operand read, so only
+        # the int8 tensor travels from HBM.
+        kernel = (
+            params["kernel_q"].astype(jnp.float32)
+            * params["scale"][None, :]
+        ).astype(x.dtype)
+    else:
+        kernel = params["kernel"]
     out = jnp.einsum(
-        "...i,io->...o", x, params["kernel"], preferred_element_type=jnp.float32
+        "...i,io->...o", x, kernel, preferred_element_type=jnp.float32
     ).astype(x.dtype)
     if "bias" in params:
         out = out + params["bias"].astype(x.dtype)
