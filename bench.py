@@ -66,7 +66,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "certify_1_image_n1000_sigma0.5_seconds",
+                "metric": "certify_1_image_n1000_sigma0.5_smallmodel_seconds",
                 "value": round(seconds, 3),
                 "unit": "s",
                 "vs_baseline": round(target / seconds, 3),

@@ -190,6 +190,14 @@ class MiniGPT4Model:
             sd = sd.get("model_state_dict", sd.get("model", sd))
             cls._load_projection(params, sd)
 
+        if model_cfg.get("quantize_llama", False):
+            # weight-only int8 decoder: ~2x HBM saving so the full 8B
+            # pipeline fits a single 16GB chip (ops/quantization.py)
+            from certifiedgpt_tpu.ops.quantization import quantize_llama
+
+            logger.info("Quantizing decoder weights to int8")
+            params["llama"] = quantize_llama(params["llama"])
+
         return cls(cfg, params, tokenizer)
 
     # ------------------------------------------------------------------
