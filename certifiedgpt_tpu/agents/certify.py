@@ -64,11 +64,23 @@ class SmoothedVQAAgentBase(BaseAgent):
                     return datasets[split]
         raise RuntimeError("No dataset configured for certification")
 
+    def wrap_instruction(self, instruction: str) -> str:
+        template = self.run_cfg.get("conv_template")
+        if not template:
+            return instruction
+        from certifiedgpt_tpu.models.conversation import TEMPLATES
+
+        conv = TEMPLATES[str(template)].copy()
+        conv.system = ""
+        conv.append_message(conv.roles[0], instruction)
+        conv.append_message(conv.roles[1], None)
+        return conv.get_prompt()
+
     def smoothed_classifier(self, item) -> (Smooth, AnswerVocabulary):
         vocab = AnswerVocabulary(item.get("gt_answers", []))
         sample_fn = make_sample_fn(
             self.model,
-            item["instruction_input"],
+            self.wrap_instruction(item["instruction_input"]),
             vocab,
             self.sigma,
             mc_batch=self.mc_batch,
