@@ -154,6 +154,68 @@ def build_train_batch(
     }
 
 
+def build_multiturn_train_batch(
+    tokenizer,
+    conversations: Sequence[Sequence[Tuple[str, str]]],
+    spec: BatchSpec,
+    user_role: str = "[INST] ",
+    assistant_role: str = " [/INST]",
+    end_sym: str = "",
+) -> Dict[str, np.ndarray]:
+    """Multi-turn conversation batch with per-turn answer targets.
+
+    Each conversation is [(user_text, assistant_text), ...]; the first
+    user turn carries ``<ImageHere>``. Labels mask every user segment
+    with -100 and supervise each assistant answer (+eos), reproducing the
+    reference's ``tokenize_conversation`` target layout
+    (ref ``minigpt_base.py:208-252``) at fixed shape.
+    """
+    b = len(conversations)
+    s = spec.seq_len
+    input_ids = np.full((b, s), tokenizer.pad_token_id, np.int32)
+    labels = np.full((b, s), IGNORE_INDEX, np.int32)
+    attention_mask = np.zeros((b, s), np.int32)
+    img_pos = np.zeros((b,), np.int32)
+
+    for i, turns in enumerate(conversations):
+        ids: list = [tokenizer.bos_token_id]
+        labs: list = [IGNORE_INDEX]
+        pos = 1
+        for t, (user, assistant) in enumerate(turns):
+            user_seg = user_role + user + assistant_role
+            if t == 0 and IMAGE_PLACEHOLDER in user_seg:
+                before, after = user_seg.split(IMAGE_PLACEHOLDER, 1)
+                before_ids = tokenizer.encode(before)
+                img_pos[i] = len(ids) + len(before_ids)
+                seg_ids = (
+                    before_ids
+                    + [tokenizer.pad_token_id] * spec.num_img_tokens
+                    + tokenizer.encode(after)
+                )
+            else:
+                seg_ids = tokenizer.encode(user_seg)
+            ids += seg_ids
+            labs += [IGNORE_INDEX] * len(seg_ids)
+
+            ans_ids = tokenizer.encode(assistant + end_sym)[
+                : spec.max_answer_len - 1
+            ] + [tokenizer.eos_token_id]
+            ids += ans_ids
+            labs += ans_ids
+
+        ids, labs = ids[:s], labs[:s]
+        input_ids[i, : len(ids)] = ids
+        labels[i, : len(labs)] = labs
+        attention_mask[i, : len(ids)] = 1
+
+    return {
+        "input_ids": input_ids,
+        "attention_mask": attention_mask,
+        "labels": labels,
+        "img_pos": img_pos,
+    }
+
+
 def build_gen_batch(
     tokenizer,
     instructions: Sequence[str],

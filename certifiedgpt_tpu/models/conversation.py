@@ -179,3 +179,70 @@ class Chat:
         )
         self.conv.messages[-1][1] = text
         return text
+
+    def stream_answer(
+        self,
+        max_new_tokens: int = 20,
+        seq_len: int = 160,
+        seed: int = 0,
+    ):
+        """Yield the answer incrementally, one decoded token at a time
+        (the reference Chat's streaming surface, ref
+        ``conversation.py:139-232``, without CUDA threads: each step is
+        one compiled single-token decode over the persistent KV cache)."""
+        if self.image is None:
+            raise RuntimeError("upload_img must be called before stream_answer")
+        import jax.numpy as jnp
+
+        from certifiedgpt_tpu.data.loader import shard_batch
+        from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch
+        from certifiedgpt_tpu.models.llama import (
+            embed_tokens,
+            init_kv_cache,
+            llama_apply,
+        )
+        from certifiedgpt_tpu.models.minigpt4 import assemble_embeds, encode_img
+
+        self.conv.append_message(self.conv.roles[1], None)
+        prompt = self.conv.get_prompt()
+        spec = BatchSpec(
+            seq_len=seq_len, num_img_tokens=self.model.cfg.num_img_tokens
+        )
+        batch = shard_batch(
+            build_gen_batch(self.model.tokenizer, [prompt], spec), None
+        )
+        params, cfg = self.model.params, self.model.cfg
+        img = encode_img(params, cfg, jnp.asarray(self.image)[None])
+        embeds = assemble_embeds(
+            params, cfg, batch["input_ids"], img, batch["img_pos"]
+        )
+        s = embeds.shape[1]
+        total = s + max_new_tokens
+        mask = batch["attention_mask"].astype(jnp.int32)
+        positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0).astype(jnp.int32)
+        cache = init_kv_cache(cfg.llama, 1, total)
+        cache_mask = jnp.concatenate(
+            [mask, jnp.ones((1, max_new_tokens), jnp.int32)], axis=1
+        )
+        logits, _, cache = llama_apply(
+            params["llama"], cfg.llama, embeds, cache_mask, positions,
+            kv_cache=cache, cache_offset=jnp.int32(0),
+        )
+        token = int(jnp.argmax(logits[0, -1]))
+        eos = self.model.tokenizer.eos_token_id
+        pieces = []
+        next_pos = int(jnp.sum(mask))
+        for t in range(max_new_tokens):
+            if token == eos:
+                break
+            piece = self.model.tokenizer.decode([token], skip_special_tokens=True)
+            pieces.append(piece)
+            yield piece
+            tok_embed = embed_tokens(params["llama"], jnp.asarray([[token]]))
+            logits, _, cache = llama_apply(
+                params["llama"], cfg.llama, tok_embed, cache_mask,
+                jnp.asarray([[next_pos + t]], jnp.int32),
+                kv_cache=cache, cache_offset=jnp.int32(s + t),
+            )
+            token = int(jnp.argmax(logits[0, -1]))
+        self.conv.messages[-1][1] = "".join(pieces).strip()

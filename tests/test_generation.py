@@ -145,3 +145,45 @@ def test_eval_conv_template_wrapping():
 
     wrapped = Dummy().wrap_instructions(["<Img><ImageHere></Img> q?"])
     assert wrapped == ["<s>[INST] <Img><ImageHere></Img> q? [/INST]"]
+
+
+def test_multiturn_train_batch():
+    from certifiedgpt_tpu.data.text import (
+        IGNORE_INDEX,
+        build_multiturn_train_batch,
+    )
+
+    tok = ByteTokenizer()
+    spec = BatchSpec(seq_len=96, num_img_tokens=4, max_answer_len=8)
+    convs = [
+        [("<Img><ImageHere></Img> what?", "cat"), ("color?", "black")],
+        [("<Img><ImageHere></Img> who?", "dog")],
+    ]
+    batch = build_multiturn_train_batch(tok, convs, spec)
+    assert batch["input_ids"].shape == (2, 96)
+    # two supervised answer spans for sample 0
+    labs = batch["labels"][0]
+    sup = labs[labs != IGNORE_INDEX]
+    text = tok.decode([int(t) for t in sup if t >= 4])
+    assert text == "catblack"
+    assert (sup == tok.eos_token_id).sum() == 2
+    # image slots inside the valid region hold pads
+    p = batch["img_pos"][0]
+    assert np.all(batch["input_ids"][0, p : p + 4] == tok.pad_token_id)
+    assert np.all(batch["attention_mask"][0, p : p + 4] == 1)
+
+
+def test_chat_streaming(model):
+    from certifiedgpt_tpu.data.processors import Blip2ImageEvalProcessor
+
+    chat = Chat(model, Blip2ImageEvalProcessor(image_size=model.cfg.vit.img_size))
+    rng = np.random.RandomState(0)
+    chat.upload_img(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8))
+    chat.ask("what?")
+    pieces = list(chat.stream_answer(max_new_tokens=4, seq_len=64))
+    assert len(pieces) >= 1
+    assert chat.conv.messages[-1][1] == "".join(pieces).strip()
+
+    # streaming equals batch answer for the same greedy model state
+    chat2 = Chat(model, Blip2ImageEvalProcessor(image_size=model.cfg.vit.img_size))
+    chat2.upload_img(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8))
