@@ -80,6 +80,23 @@ def make_noisy_generate_fn(
     eos = model.tokenizer.eos_token_id
     pad = model.tokenizer.pad_token_id
 
+    # Monte-Carlo sharding: on a mesh, the mc axis is the data axis —
+    # noise draws split across chips over ICI (SURVEY.md §5.7: the MC axis
+    # is THE scalable axis of certification).
+    mc_sharding = None
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        if mc_batch % n_data != 0:
+            raise ValueError(
+                f"mc_batch {mc_batch} must be divisible by the mesh data "
+                f"axis ({n_data})"
+            )
+        mc_sharding = lambda ndim: NamedSharding(  # noqa: E731
+            mesh, P("data", *([None] * (ndim - 1)))
+        )
+
     # NOTE: params are an explicit argument — closing over them would bake
     # hundreds of MB of weights into the jaxpr as constants and stall
     # compilation.
@@ -106,6 +123,11 @@ def make_noisy_generate_fn(
             ),
             "img_pos": jnp.broadcast_to(img_pos, (mc_batch,)),
         }
+        if mc_sharding is not None:
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, mc_sharding(v.ndim))
+                for k, v in batch.items()
+            }
         return generate_greedy(params, cfg, batch, max_new_tokens, eos, pad)
 
     return jax.jit(fn)

@@ -112,3 +112,36 @@ def test_answer_vocabulary():
     assert vocab.label_of("giraffe") == vocab.other_label
     assert vocab.text_of(vocab.label_of("blue")) == "blue"
     assert vocab.text_of(vocab.other_label) == "<other>"
+
+
+def test_sharded_sample_fn_on_cpu_mesh():
+    """MC axis shards over the mesh data axis (virtual 8-device CPU)."""
+    import jax
+
+    from certifiedgpt_tpu.data.text import ByteTokenizer
+    from certifiedgpt_tpu.models.minigpt4 import MiniGPT4Config, init_minigpt4
+    from certifiedgpt_tpu.models.model_zoo import MiniGPT4Model
+    from certifiedgpt_tpu.parallel.mesh import make_mesh
+    from certifiedgpt_tpu.smoothing.classifier import make_sample_fn
+
+    cfg = MiniGPT4Config.tiny()
+    params = init_minigpt4(jax.random.PRNGKey(0), cfg)
+    model = MiniGPT4Model(cfg, params, ByteTokenizer())
+    mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+    vocab = AnswerVocabulary(["cat", "dog"])
+    sample_fn = make_sample_fn(
+        model, "<Img><ImageHere></Img> q?", vocab, sigma=0.5,
+        mc_batch=16, max_new_tokens=2, seq_len=32, mesh=mesh,
+    )
+    labels = sample_fn(
+        np.zeros((cfg.vit.img_size, cfg.vit.img_size, 3), np.float32), 16, seed=0
+    )
+    assert labels.shape == (16,)
+    assert np.all((labels >= 0) & (labels < vocab.num_classes))
+
+    # indivisible mc_batch is rejected up front
+    with pytest.raises(ValueError):
+        make_sample_fn(
+            model, "q", vocab, sigma=0.5, mc_batch=3, max_new_tokens=2,
+            seq_len=32, mesh=mesh,
+        )
