@@ -55,6 +55,22 @@ class SmoothedVQAAgentBase(BaseAgent):
         if finetuned is not None:
             self.model.params["llama_proj"] = finetuned["llama_proj"]
 
+        # keep mc_batch compatible with the mesh data axis (the MC axis
+        # shards over it) instead of failing at the first image
+        n_data = self.mesh.shape.get("data", 1)
+        if n_data > 1 and self.mc_batch % n_data != 0:
+            rounded = max((self.mc_batch // n_data), 1) * n_data
+            self.logger.warning(
+                "mc_batch %d not divisible by mesh data axis %d; using %d",
+                self.mc_batch, n_data, rounded,
+            )
+            self.mc_batch = rounded
+
+        # one compiled noisy-generate graph per sigma for the whole run
+        # (the prompt is a runtime argument; re-tracing per image would
+        # dominate wall-clock at full scale)
+        self._gen_cache = {}
+
     def eval_dataset(self):
         for name in self.config.datasets.keys():
             builder_cls = registry.get_builder_class(name)
@@ -77,7 +93,27 @@ class SmoothedVQAAgentBase(BaseAgent):
         return conv.get_prompt()
 
     def smoothed_classifier(self, item) -> (Smooth, AnswerVocabulary):
-        vocab = AnswerVocabulary(item.get("gt_answers", []))
+        if not item.get("gt_answers"):
+            raise RuntimeError(
+                "Certification needs ground-truth candidate answers to fix "
+                "the label set (Cohen's guarantee); configure the "
+                "'evalvqav2' dataset, not a train/test split"
+            )
+        vocab = AnswerVocabulary(item["gt_answers"])
+        if self.sigma not in self._gen_cache:
+            from certifiedgpt_tpu.smoothing.classifier import (
+                make_noisy_generate_fn,
+            )
+
+            self._gen_cache[self.sigma] = make_noisy_generate_fn(
+                self.model,
+                self.sigma,
+                self.mc_batch,
+                self.max_new_tokens,
+                seq_len=self.seq_len,
+                mesh=self.mesh,
+                noise_dist=self.noise_dist,
+            )
         sample_fn = make_sample_fn(
             self.model,
             self.wrap_instruction(item["instruction_input"]),
@@ -88,6 +124,7 @@ class SmoothedVQAAgentBase(BaseAgent):
             seq_len=self.seq_len,
             mesh=self.mesh,
             noise_dist=self.noise_dist,
+            gen=self._gen_cache[self.sigma],
         )
         return Smooth(sample_fn, vocab.num_classes, self.sigma), vocab
 

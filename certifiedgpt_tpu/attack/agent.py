@@ -112,11 +112,19 @@ class _HashTextEncoder:
     def __init__(self, dim: int = 64):
         self.dim = dim
 
+    def _bucket(self, word: str) -> int:
+        import hashlib
+
+        # hashlib, not hash(): Python's str hash is per-process salted and
+        # would make attack scores irreproducible across runs
+        digest = hashlib.md5(word.encode("utf-8")).digest()
+        return int.from_bytes(digest[:4], "little") % self.dim
+
     def __call__(self, texts: List[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), np.float32)
         for i, text in enumerate(texts):
             for word in text.lower().split():
-                out[i, hash(word) % self.dim] += 1.0
+                out[i, self._bucket(word)] += 1.0
         norm = np.linalg.norm(out, axis=-1, keepdims=True)
         return out / np.maximum(norm, 1e-8)
 
@@ -216,14 +224,17 @@ class AttackAgent(BaseAgent):
                     hf.state_dict(), vit_dummy, tcfg
                 )["text"]
 
-                fn = jax.jit(lambda ids: clip_text(text_params, tcfg, ids))
+                # params as an argument, not a closure (CLAUDE.md rule)
+                fn = jax.jit(lambda p, ids: clip_text(p, tcfg, ids))
 
                 def encode(texts):
                     batch = tok(
                         texts, padding="max_length", truncation=True,
                         max_length=tcfg.max_len, return_tensors="np",
                     )
-                    embs = np.asarray(fn(jnp.asarray(batch["input_ids"])))
+                    embs = np.asarray(
+                        fn(text_params, jnp.asarray(batch["input_ids"]))
+                    )
                     norm = np.linalg.norm(embs, axis=-1, keepdims=True)
                     return embs / np.maximum(norm, 1e-8)
 
@@ -279,13 +290,26 @@ class AttackAgent(BaseAgent):
 
     # ------------------------------------------------------------------
     def run(self) -> Dict[str, Any]:
-        from certifiedgpt_tpu.agents.certify import SmoothedVQAAgentBase
-
         dataset = self._dataset()
         limit = int(self.max_images) if self.max_images else len(dataset)
         limit = min(limit, len(dataset))
         mean = np.asarray(CLIP_MEAN, np.float32)
         std = np.asarray(CLIP_STD, np.float32)
+
+        def to_pixels(item):
+            # de-normalize processor output back to [0,1] pixels
+            return np.clip(
+                np.asarray(item["image"]) * std + mean, 0.0, 1.0
+            ).astype(np.float32)
+
+        # one compiled PGD loop per backbone for the whole run (params are
+        # runtime args, so no per-image retrace)
+        attacks = {
+            enc.name: make_pgd_attack(
+                [enc], self.epsilon, self.step_size, self.steps
+            )
+            for enc in self.encoders
+        }
 
         rows: List[Dict[str, Any]] = []
         results_path = os.path.join(self.output_dir, "attack_results.jsonl")
@@ -294,15 +318,24 @@ class AttackAgent(BaseAgent):
                 item = dataset[idx]
                 target_item = dataset[(idx + 1) % len(dataset)]
                 target_text = self._target_text(target_item)
-                # de-normalize processor output back to [0,1] pixels
-                pixels = np.clip(
-                    np.asarray(item["image"]) * std + mean, 0.0, 1.0
-                ).astype(np.float32)
+                pixels = to_pixels(item)
+                target_pixels = to_pixels(target_item)
+
+                # the clean caption is backbone-independent: compute once
+                instruction = item.get(
+                    "instruction_input",
+                    "<Img><ImageHere></Img> Describe this image.",
+                )
+                clean_cap = self.caption(pixels, instruction, idx * 2)
 
                 for enc in self.encoders:
-                    adv = self._attack_one(pixels, target_text, [enc], idx)
+                    adv = self._attack_one(
+                        attacks[enc.name], pixels, target_pixels,
+                        target_text, enc, idx,
+                    )
                     row = self._score(
-                        idx, item, enc.name, pixels, adv, target_text
+                        idx, item, enc.name, pixels, adv, target_text,
+                        clean_cap, instruction,
                     )
                     rows.append(row)
                     sink.write(json.dumps(row) + "\n")
@@ -338,28 +371,21 @@ class AttackAgent(BaseAgent):
             return item["gt_answers"][0]
         return item.get("answer", "a photo")
 
-    def _attack_one(self, pixels, target_text, encoders, idx) -> np.ndarray:
-        # target embedding per surrogate: encode the *target text holder's*
-        # image region is unavailable here, so use the text-conditioned
-        # hash target for tiny runs and the target item's image otherwise.
-        attack = make_pgd_attack(
-            encoders, self.epsilon, self.step_size, self.steps
-        )
+    def _attack_one(
+        self, attack, pixels, target_pixels, target_text, enc, idx
+    ) -> np.ndarray:
+        """Transfer stage: PGD toward the *target image's* surrogate
+        embedding (the AttackVLM feature-matching objective), then the
+        optional RGF query stage against the victim."""
+        from certifiedgpt_tpu.attack.attack import embed_images
+
         x = jnp.asarray(pixels)[None]
-        targets = {}
-        for enc in encoders:
-            # feature target: embedding of the target *image* (AttackVLM
-            # matches image features of a target image). Use a fixed
-            # pseudo-target derived from the target text hash to stay
-            # deterministic when no target image is configured.
-            rng = np.random.default_rng(abs(hash(target_text)) % (2**31))
-            imgs = jax.image.resize(
-                x, (1, enc.image_size, enc.image_size, 3), "bilinear"
-            )
-            probe = enc.apply_fn(enc.params, (imgs - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD))
-            direction = rng.standard_normal(probe.shape[-1]).astype(np.float32)
-            targets[enc.name] = jnp.asarray(direction[None])
-        adv = np.asarray(attack(x, targets))[0]
+        target_embeds = embed_images(
+            [enc], {enc.name: enc.params}, jnp.asarray(target_pixels)[None]
+        )
+        adv = np.asarray(
+            attack({enc.name: enc.params}, x, target_embeds)
+        )[0]
 
         if self.rgf_queries > 0:
             text_enc = self.text_encoder
@@ -382,11 +408,10 @@ class AttackAgent(BaseAgent):
             )
         return adv
 
-    def _score(self, idx, item, backbone, pixels, adv, target_text):
-        instruction = item.get(
-            "instruction_input", "<Img><ImageHere></Img> Describe this image."
-        )
-        clean_cap = self.caption(pixels, instruction, idx * 2)
+    def _score(
+        self, idx, item, backbone, pixels, adv, target_text, clean_cap,
+        instruction,
+    ):
         adv_cap = self.caption(adv, instruction, idx * 2 + 1)
         embs = self.text_encoder([clean_cap, adv_cap, target_text])
         clean_sim = float(np.dot(embs[0], embs[2]))

@@ -74,29 +74,32 @@ def make_pgd_attack(
 ):
     """Build the jitted targeted PGD loop.
 
-    Returns ``attack(x_clean_pixels [B,H,W,3] in [0,1], target_embeds:
-    {name: [B, D]}) -> x_adv_pixels``. The entire ``steps``-iteration
-    loop runs as one compiled ``lax.scan``.
+    Returns ``attack(params_by_name, x_clean_pixels [B,H,W,3] in [0,1],
+    target_embeds: {name: [B, D]}) -> x_adv_pixels``. The entire
+    ``steps``-iteration loop runs as one compiled ``lax.scan``. Encoder
+    params are runtime arguments — closing over them would bake the
+    surrogate weights into the jaxpr as constants and stall compilation
+    (see CLAUDE.md).
     """
 
-    def ensemble_loss(x_pixels, target_embeds):
+    def ensemble_loss(x_pixels, params_by_name, target_embeds):
         total = 0.0
         for enc in encoders:
             imgs = _normalize(_resize(x_pixels, enc.image_size))
-            feats = enc.apply_fn(enc.params, imgs)
+            feats = enc.apply_fn(params_by_name[enc.name], imgs)
             total = total + jnp.mean(
                 1.0 - cosine_similarity(feats, target_embeds[enc.name])
             )
         return total / len(encoders)
 
     @jax.jit
-    def attack(x_clean, target_embeds):
+    def attack(params_by_name, x_clean, target_embeds):
         lo = jnp.clip(x_clean - epsilon, 0.0, 1.0)
         hi = jnp.clip(x_clean + epsilon, 0.0, 1.0)
         grad_fn = jax.grad(ensemble_loss)
 
         def step(x_adv, _):
-            g = grad_fn(x_adv, target_embeds)
+            g = grad_fn(x_adv, params_by_name, target_embeds)
             x_adv = x_adv - step_size * jnp.sign(g)
             return jnp.clip(x_adv, lo, hi), None
 
@@ -104,6 +107,19 @@ def make_pgd_attack(
         return x_adv
 
     return attack
+
+
+def embed_images(
+    encoders: Sequence[SurrogateEncoder],
+    params_by_name,
+    pixels: jnp.ndarray,  # [B, H, W, 3] in [0, 1]
+):
+    """Surrogate embeddings of pixel images, per encoder name."""
+    out = {}
+    for enc in encoders:
+        imgs = _normalize(_resize(pixels, enc.image_size))
+        out[enc.name] = enc.apply_fn(params_by_name[enc.name], imgs)
+    return out
 
 
 def rgf_refine(

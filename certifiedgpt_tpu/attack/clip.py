@@ -87,16 +87,16 @@ class ClipViTConfig:
 
 
 def _init_clip_block(key, d: int, inter: int, dtype) -> Dict[str, Any]:
-    keys = jax.random.split(key, 4)
+    keys = jax.random.split(key, 6)
     return {
         "ln1": L.init_layer_norm(d, dtype),
         "q": L.init_dense(keys[0], d, d, dtype=dtype),
-        "k": L.init_dense(keys[0], d, d, dtype=dtype),
-        "v": L.init_dense(keys[1], d, d, dtype=dtype),
-        "out": L.init_dense(keys[1], d, d, dtype=dtype),
+        "k": L.init_dense(keys[1], d, d, dtype=dtype),
+        "v": L.init_dense(keys[2], d, d, dtype=dtype),
+        "out": L.init_dense(keys[3], d, d, dtype=dtype),
         "ln2": L.init_layer_norm(d, dtype),
-        "fc1": L.init_dense(keys[2], d, inter, dtype=dtype),
-        "fc2": L.init_dense(keys[3], inter, d, dtype=dtype),
+        "fc1": L.init_dense(keys[4], d, inter, dtype=dtype),
+        "fc2": L.init_dense(keys[5], inter, d, dtype=dtype),
     }
 
 

@@ -113,7 +113,14 @@ class VQAv2Dataset(BaseDataset):
 
     def _image_path(self, image_id: int) -> str:
         file_name = f"COCO_{self.split}{self.coco_year}_{image_id:012d}.jpg"
-        return os.path.join(self.vis_paths, file_name)
+        flat = os.path.join(self.vis_paths, file_name)
+        if os.path.exists(flat):
+            return flat
+        # the COCO zips unpack into images/{split}{year}/ subdirectories
+        # (scripts/download_coco.sh layout); support both
+        return os.path.join(
+            self.vis_paths, f"{self.split}{self.coco_year}", file_name
+        )
 
     def _load_image(self, image_id: int) -> np.ndarray:
         image = Image.open(self._image_path(image_id)).convert("RGB")
@@ -198,7 +205,12 @@ class VQAv2TestDataset(BaseDataset):
     def __getitem__(self, index: int) -> Dict[str, Any]:
         q = self.questions[index]
         file_name = f"COCO_{self.split}{self.coco_year}_{q['image_id']:012d}.jpg"
-        image = Image.open(os.path.join(self.vis_paths, file_name)).convert("RGB")
+        path = os.path.join(self.vis_paths, file_name)
+        if not os.path.exists(path):
+            path = os.path.join(
+                self.vis_paths, f"{self.split}{self.coco_year}", file_name
+            )
+        image = Image.open(path).convert("RGB")
         image = self.vis_processor(image)
         instruction = INSTRUCTION_WRAPPER.format(
             TEST_INSTRUCTION.format(q["question"])

@@ -117,8 +117,18 @@ def build_train_batch(
     attention_mask = np.zeros((b, s), np.int32)
     img_pos = np.zeros((b,), np.int32)
 
+    # the image span + bos + at least one answer token must always fit
+    max_before = s - 1 - spec.num_img_tokens - 2
+    if max_before < 0:
+        raise ValueError(
+            f"seq_len {s} cannot hold bos + {spec.num_img_tokens} image "
+            f"tokens + an answer"
+        )
+
     for i, (inst, ans) in enumerate(zip(instructions, answers)):
         before, after = _split_instruction(tokenizer, inst)
+        # keep the tail of 'before' (adjacent to the image) when oversized
+        before = before[-max_before:] if len(before) > max_before else before
         ans_ids = tokenizer.encode(ans)[: spec.max_answer_len - 1]
         prompt = (
             [tokenizer.bos_token_id]
@@ -228,8 +238,16 @@ def build_gen_batch(
     attention_mask = np.zeros((b, s), np.int32)
     img_pos = np.zeros((b,), np.int32)
 
+    max_before = s - 1 - spec.num_img_tokens
+    if max_before < 0:
+        raise ValueError(
+            f"seq_len {s} cannot hold bos + {spec.num_img_tokens} image tokens"
+        )
+
     for i, inst in enumerate(instructions):
         before, after = _split_instruction(tokenizer, inst)
+        # keep the tail of 'before' (adjacent to the image) when oversized
+        before = before[-max_before:] if len(before) > max_before else before
         prompt = (
             [tokenizer.bos_token_id]
             + before

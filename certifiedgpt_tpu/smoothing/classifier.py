@@ -143,21 +143,29 @@ def make_sample_fn(
     seq_len: int = 64,
     mesh=None,
     noise_dist: str = "gaussian",
+    gen=None,
 ) -> Callable[[np.ndarray, int, int], np.ndarray]:
     """Bind (model, question prompt, vocab, sigma) into the
-    ``sample_fn(x, num, seed) -> labels`` interface of ``Smooth``."""
+    ``sample_fn(x, num, seed) -> labels`` interface of ``Smooth``.
+
+    Pass a pre-built ``gen`` (from ``make_noisy_generate_fn``) when
+    certifying many questions at the same (sigma, mc_batch, shapes): the
+    prompt is a runtime argument, so ONE compiled graph serves the whole
+    dataset instead of re-tracing per image (the certify agents do this).
+    """
     spec = BatchSpec(seq_len=seq_len, num_img_tokens=model.cfg.num_img_tokens)
     prompt = build_gen_batch(model.tokenizer, [instruction], spec)
     prompt = shard_batch(prompt, None)  # single-sample host arrays -> device
-    gen = make_noisy_generate_fn(
-        model,
-        sigma,
-        mc_batch,
-        max_new_tokens,
-        seq_len=seq_len,
-        mesh=mesh,
-        noise_dist=noise_dist,
-    )
+    if gen is None:
+        gen = make_noisy_generate_fn(
+            model,
+            sigma,
+            mc_batch,
+            max_new_tokens,
+            seq_len=seq_len,
+            mesh=mesh,
+            noise_dist=noise_dist,
+        )
     tokenizer = model.tokenizer
 
     def sample_fn(x: np.ndarray, num: int, seed: int) -> np.ndarray:

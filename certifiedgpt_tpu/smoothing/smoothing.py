@@ -134,6 +134,10 @@ class Smooth:
         """Top class of n draws, abstain unless the top-2 split is
         significant at level alpha (ref ``smoothing.py:58-79``)."""
         counts = self._counts(x, n, seed)
+        if self.num_classes < 2:
+            # degenerate single-class label set: the two-sided test is
+            # meaningless; abstain rather than certify vacuously
+            return ABSTAIN
         top2 = counts.argsort()[::-1][:2]
         c_a, c_b = int(top2[0]), int(top2[1])
         n_a, n_b = int(counts[c_a]), int(counts[c_b])

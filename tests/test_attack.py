@@ -105,7 +105,7 @@ def test_pgd_attack_moves_embedding_toward_target():
     target = jnp.asarray(rng.randn(1, cfg.projection_dim).astype(np.float32))
 
     attack = make_pgd_attack([enc], epsilon=16 / 255, step_size=2 / 255, steps=20)
-    adv = attack(x, {"vit_tiny": target})
+    adv = attack({"vit_tiny": enc.params}, x, {"vit_tiny": target})
 
     def sim(img):
         from certifiedgpt_tpu.attack.attack import _normalize, _resize
