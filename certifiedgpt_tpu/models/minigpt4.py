@@ -282,7 +282,10 @@ def generate(
         [mask, jnp.ones((b, max_new_tokens), jnp.int32)], axis=1
     )
 
-    logits, _, cache = llama_apply(
+    # prefill: only the LAST position's logits are needed — skip the
+    # [B, S, vocab] lm_head matmul over the whole prompt (saves
+    # ~B*S*d*vocab FLOPs and a multi-hundred-MB fp32 buffer per chunk)
+    _, hidden, cache = llama_apply(
         params["llama"],
         cfg.llama,
         embeds,
@@ -290,8 +293,15 @@ def generate(
         prompt_positions,
         kv_cache=cache,
         cache_offset=jnp.int32(0),
+        compute_logits=False,
     )
-    vocab = logits.shape[-1]
+    logits_last = jnp.einsum(
+        "bd,dv->bv",
+        hidden[:, -1, :],
+        params["llama"]["lm_head"]["kernel"],
+        preferred_element_type=jnp.float32,
+    )
+    vocab = logits_last.shape[-1]
     counts0 = jnp.zeros((b, vocab), jnp.int32)
 
     def pick(step_logits, counts, t, key):
@@ -312,7 +322,7 @@ def generate(
             rng=key,
         )
 
-    first = pick(logits[:, -1, :], counts0, jnp.int32(0), jax.random.fold_in(rng, 0))
+    first = pick(logits_last, counts0, jnp.int32(0), jax.random.fold_in(rng, 0))
     counts0 = counts0.at[jnp.arange(b), first].add(1)
 
     def step(carry, t):
