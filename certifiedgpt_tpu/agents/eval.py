@@ -133,6 +133,7 @@ class EvalAgent(BaseAgent):
                         batch_size=self.batch_size,
                         shuffle=False,
                         drop_last=False,
+                        num_workers=int(self.run_cfg.get("num_workers", 4)),
                     )
         raise RuntimeError("No val/test split configured for eval")
 

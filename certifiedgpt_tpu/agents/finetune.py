@@ -152,6 +152,7 @@ class FinetuneAgent(BaseAgent):
                     shuffle=(split == "train"),
                     drop_last=True,
                     seed=self.seed,
+                    num_workers=int(self.run_cfg.get("num_workers", 4)),
                 )
         return loaders
 

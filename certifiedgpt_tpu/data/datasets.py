@@ -102,7 +102,8 @@ class VQAv2Dataset(BaseDataset):
     def __init__(self, *args, seed: int = 0, coco_year: str = "2014", **kwargs):
         super().__init__(*args, **kwargs)
         self.coco_year = coco_year
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0  # set by Loader.set_epoch for fresh per-epoch sampling
         questions_dict = {q["question_id"]: q for q in self.questions}
         # keep only annotations whose question exists (join by question_id,
         # ref vqav2_dataset.py:43-77)
@@ -126,7 +127,22 @@ class VQAv2Dataset(BaseDataset):
         image = Image.open(self._image_path(image_id)).convert("RGB")
         return self.vis_processor(image)
 
-    def sample_answer(self, annotation: dict) -> str:
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def _item_rng(self, index: int) -> np.random.Generator:
+        """Per-call generator: deterministic in (seed, epoch, index) and
+        safe under the loader's worker threads (a shared Generator is not
+        thread-safe); answers still resample every epoch like the
+        reference's per-__getitem__ random draws."""
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, index])
+        )
+
+    def sample_answer(
+        self, annotation: dict, rng: Optional[np.random.Generator] = None
+    ) -> str:
+        rng = rng if rng is not None else self._item_rng(0)
         weights: Dict[str, float] = collections.defaultdict(float)
         for ans in annotation.get("answers", []):
             text = ans.get("answer")
@@ -141,22 +157,23 @@ class VQAv2Dataset(BaseDataset):
                 raise ValueError(
                     f"No answers for question_id {annotation.get('question_id')}"
                 )
-            return str(self.rng.choice(texts))
+            return str(rng.choice(texts))
         answers = list(weights.keys())
         probs = np.asarray(list(weights.values()), np.float64)
         probs = probs / probs.sum()
-        return str(self.rng.choice(answers, p=probs))
+        return str(rng.choice(answers, p=probs))
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         annotation = self.annotations[index]
         question_id = annotation["question_id"]
         question = self.questions_dict[question_id]["question"]
         image = self._load_image(annotation["image_id"])
-        answer = self.sample_answer(annotation)
+        rng = self._item_rng(index)
+        answer = self.sample_answer(annotation, rng)
         if self.text_processor is not None:
             answer = self.text_processor(answer)
         template = INSTRUCTION_TEMPLATES[
-            int(self.rng.integers(len(INSTRUCTION_TEMPLATES)))
+            int(rng.integers(len(INSTRUCTION_TEMPLATES)))
         ]
         instruction = INSTRUCTION_WRAPPER.format(template.format(question))
         return {

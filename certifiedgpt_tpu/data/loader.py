@@ -31,6 +31,7 @@ class Loader:
         drop_last: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        num_workers: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -38,6 +39,10 @@ class Loader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        # parallel sample loading (JPEG decode + resize release the GIL in
+        # PIL) — the host-side analogue of the reference's DataLoader
+        # num_workers (ref minigpt4_finetune_agent.py:291-335)
+        self.num_workers = max(int(num_workers), 1)
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -48,6 +53,8 @@ class Loader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _index_order(self) -> np.ndarray:
         n = len(self.dataset)
@@ -57,16 +64,32 @@ class Loader:
         return np.arange(n)
 
     def _batches(self) -> Iterator[Dict[str, Any]]:
+        import concurrent.futures
+
         order = self._index_order()
         n_batches = len(self)
-        for b in range(n_batches):
-            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-            if len(idx) == 0:
-                continue
-            if len(idx) < self.batch_size and self.drop_last:
-                continue
-            samples = [self.dataset[int(i)] for i in idx]
-            yield self.dataset.collater(samples)
+
+        def load(i):
+            return self.dataset[int(i)]
+
+        if self.num_workers <= 1:
+            for b in range(n_batches):
+                idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                if len(idx) == 0 or (
+                    len(idx) < self.batch_size and self.drop_last
+                ):
+                    continue
+                yield self.dataset.collater([load(i) for i in idx])
+            return
+
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+            for b in range(n_batches):
+                idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                if len(idx) == 0 or (
+                    len(idx) < self.batch_size and self.drop_last
+                ):
+                    continue
+                yield self.dataset.collater(list(pool.map(load, idx)))
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.prefetch <= 0:
