@@ -148,6 +148,11 @@ def _flash_bhsd(
             pltpu.VMEM((tile_q, 1), jnp.float32),
             pltpu.VMEM((tile_q, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # bh and q tiles are independent — Mosaic may pipeline them;
+            # only the k loop carries the online-softmax state
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(q, k, v)
 
 
