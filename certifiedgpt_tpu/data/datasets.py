@@ -142,7 +142,10 @@ class VQAv2Dataset(BaseDataset):
     def sample_answer(
         self, annotation: dict, rng: Optional[np.random.Generator] = None
     ) -> str:
-        rng = rng if rng is not None else self._item_rng(0)
+        # no-rng calls draw fresh entropy (a fixed default would silently
+        # turn sampling into a constant); __getitem__ passes the
+        # deterministic per-item generator
+        rng = rng if rng is not None else np.random.default_rng()
         weights: Dict[str, float] = collections.defaultdict(float)
         for ans in annotation.get("answers", []):
             text = ans.get("answer")

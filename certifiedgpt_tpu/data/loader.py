@@ -98,24 +98,50 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    # bounded put so an abandoned consumer (epoch break,
+                    # e.g. iters_per_epoch) releases the thread + pool
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as exc:  # surfaced on the consumer side
                 error.append(exc)
             finally:
-                q.put(sentinel)
+                # deliver the sentinel unless the consumer already left
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # consumer broke early (or finished): unblock and reap the
+            # producer and its worker pool
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=30)
         if error:
             raise error[0]
 

@@ -110,6 +110,16 @@ def embed_tokens(params, ids: jnp.ndarray) -> jnp.ndarray:
     return L.embed(params["embed_tokens"], ids)
 
 
+def lm_head_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Project hidden states [..., D] to vocabulary logits (fp32)."""
+    return jnp.einsum(
+        "...d,dv->...v",
+        hidden,
+        params["lm_head"]["kernel"],
+        preferred_element_type=jnp.float32,
+    )
+
+
 # ----------------------------------------------------------------------
 # KV cache
 # ----------------------------------------------------------------------
@@ -233,14 +243,7 @@ def llama_apply(
 
     x = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
 
-    logits = None
-    if compute_logits:
-        logits = jnp.einsum(
-            "bsd,dv->bsv",
-            x,
-            params["lm_head"]["kernel"],
-            preferred_element_type=jnp.float32,
-        )
+    logits = lm_head_logits(params, x) if compute_logits else None
     return logits, x, new_cache
 
 

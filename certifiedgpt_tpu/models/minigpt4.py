@@ -295,12 +295,9 @@ def generate(
         cache_offset=jnp.int32(0),
         compute_logits=False,
     )
-    logits_last = jnp.einsum(
-        "bd,dv->bv",
-        hidden[:, -1, :],
-        params["llama"]["lm_head"]["kernel"],
-        preferred_element_type=jnp.float32,
-    )
+    from certifiedgpt_tpu.models.llama import lm_head_logits
+
+    logits_last = lm_head_logits(params["llama"], hidden[:, -1, :])
     vocab = logits_last.shape[-1]
     counts0 = jnp.zeros((b, vocab), jnp.int32)
 
