@@ -119,7 +119,11 @@ def convert_qformer_state_dict(
     ``prefix`` strips a leading scope (e.g. ``"Qformer.bert."``).
     """
     dt = cfg.dtype
+    # query_tokens sits at the checkpoint root, outside any prefix scope
+    query_raw = sd.get("query_tokens")
     sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)} if prefix else dict(sd)
+    if query_raw is not None:
+        sd["query_tokens"] = query_raw
 
     hf_style = any("attention.attention.query" in k for k in sd)
     self_scope = "attention.attention" if hf_style else "attention.self"
