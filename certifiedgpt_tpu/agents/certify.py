@@ -92,14 +92,39 @@ class SmoothedVQAAgentBase(BaseAgent):
         conv.append_message(conv.roles[1], None)
         return conv.get_prompt()
 
-    def smoothed_classifier(self, item) -> (Smooth, AnswerVocabulary):
+    def build_vocab(self, item, dataset=None) -> AnswerVocabulary:
+        """Label-set construction (``run.vocab_mode``):
+        - ``per_question`` (default): the item's candidate answers + OTHER
+        - ``global``: top-``vocab_top_k`` answers over the whole dataset's
+          annotations (standard VQA-classifier vocabulary), built once.
+        Both are fixed before sampling, as Cohen's guarantee requires.
+        """
+        mode = str(self.run_cfg.get("vocab_mode", "per_question"))
+        if mode == "global":
+            if not hasattr(self, "_global_vocab"):
+                if dataset is None or not getattr(dataset, "annotations", None):
+                    raise RuntimeError(
+                        "vocab_mode=global needs a dataset with annotations"
+                    )
+                self._global_vocab = AnswerVocabulary.from_annotations(
+                    dataset.annotations,
+                    top_k=int(self.run_cfg.get("vocab_top_k", 3000)),
+                )
+                self.logger.info(
+                    "global answer vocabulary: %d classes",
+                    self._global_vocab.num_classes,
+                )
+            return self._global_vocab
         if not item.get("gt_answers"):
             raise RuntimeError(
                 "Certification needs ground-truth candidate answers to fix "
                 "the label set (Cohen's guarantee); configure the "
                 "'evalvqav2' dataset, not a train/test split"
             )
-        vocab = AnswerVocabulary(item["gt_answers"])
+        return AnswerVocabulary(item["gt_answers"])
+
+    def smoothed_classifier(self, item, dataset=None) -> (Smooth, AnswerVocabulary):
+        vocab = self.build_vocab(item, dataset)
         if self.sigma not in self._gen_cache:
             from certifiedgpt_tpu.smoothing.classifier import (
                 make_noisy_generate_fn,
@@ -174,7 +199,7 @@ class CertifyAgent(SmoothedVQAAgentBase):
         with open(results_path, "w") as sink:
             for idx in range(min(limit, len(dataset))):
                 item = dataset[idx]
-                smooth, vocab = self.smoothed_classifier(item)
+                smooth, vocab = self.smoothed_classifier(item, dataset)
                 t0 = time.time()
                 label, radius = smooth.certify(
                     item["image"], self.n0, self.n, self.alpha,
@@ -261,7 +286,7 @@ class PredictAgent(SmoothedVQAAgentBase):
         with open(results_path, "w") as sink:
             for idx in range(min(limit, len(dataset))):
                 item = dataset[idx]
-                smooth, vocab = self.smoothed_classifier(item)
+                smooth, vocab = self.smoothed_classifier(item, dataset)
                 t0 = time.time()
                 label = smooth.predict(
                     item["image"], self.n, self.alpha, seed=self.seed + idx

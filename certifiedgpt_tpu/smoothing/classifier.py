@@ -43,6 +43,26 @@ class AnswerVocabulary:
         self.index = seen
         self.labels: List[str] = list(seen.keys())
 
+    @classmethod
+    def from_annotations(
+        cls, annotations: Sequence[dict], top_k: int = 3000
+    ) -> "AnswerVocabulary":
+        """Global label set: the top-K most frequent normalized answers
+        over a whole annotation set — the standard VQA-classifier
+        vocabulary, as an alternative to per-question candidate sets.
+        The set is fixed before any sampling, as Cohen's guarantee
+        requires."""
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for ann in annotations:
+            for a in ann.get("answers", []):
+                norm = normalize_answer(a.get("answer", ""))
+                if norm:
+                    counts[norm] += 1
+        ordered = [t for t, _ in counts.most_common(top_k)]
+        return cls(ordered)
+
     @property
     def other_label(self) -> int:
         return len(self.labels)

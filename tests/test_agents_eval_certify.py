@@ -198,3 +198,23 @@ def test_eval_agent_test_split_predictions(tmp_path):
     )
     assert {p["question_id"] for p in preds} == {1, 2, 3}
     assert all("answer" in p for p in preds)
+
+
+def test_certify_global_vocab_mode(eval_setup):
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            certify_n0=4,
+            certify_n=8,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=1,
+            vocab_mode="global",
+            vocab_top_k=10,
+        )
+    )
+    summary = agent.run()
+    assert summary["total"] == 1
+    # global vocab built once from the dataset annotations (all 'cat')
+    assert agent._global_vocab.num_classes == 2  # cat + OTHER

@@ -159,3 +159,28 @@ def test_parity_with_hf_llama():
     ours, _, _ = llama_apply(params, cfg, x, mask, pos)
 
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_tensor_parallel_llama_matches_replicated():
+    """partition_llama over a 'model' axis reproduces replicated logits."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from certifiedgpt_tpu.parallel.mesh import make_mesh, partition_llama, replicated
+
+    cfg = LlamaConfig.tiny()
+    params = init_llama(jax.random.PRNGKey(0), cfg)
+    b, s = 2, 10
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0, cfg.vocab_size)
+    x = embed_tokens(params, ids)
+    mask = jnp.ones((b, s), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    ref, _, _ = llama_apply(params, cfg, x, mask, pos)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = dict(params)
+    sharded = partition_llama(params, mesh)
+
+    f = jax.jit(lambda p, x: llama_apply(p, cfg, x, mask, pos)[0])
+    with mesh:
+        out = f(sharded, jax.device_put(x, replicated(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
