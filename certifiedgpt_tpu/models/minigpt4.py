@@ -367,6 +367,120 @@ def generate_greedy(
     )
 
 
+def generate_beam(
+    params: Dict[str, Any],
+    cfg: MiniGPT4Config,
+    batch: Dict[str, jnp.ndarray],
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int = 0,
+    *,
+    num_beams: int = 3,
+    length_penalty: float = 1.0,
+) -> jnp.ndarray:
+    """Beam-search decode (the reference generate's ``num_beams``/
+    ``length_penalty`` knobs, ref ``minigpt_base.py:374-388``), fully
+    compiled: beams flatten into the batch axis, every step is one
+    cached forward + a top-k over [beams * vocab] per sample, and the KV
+    cache is gathered on beam reorder. Finished beams freeze their score
+    (normalized by ``length^length_penalty`` at the end, the HF
+    convention). Returns [B, max_new_tokens] token ids of the best beam.
+    """
+    img_embeds = encode_img(params, cfg, batch["image"])
+    embeds = assemble_embeds(
+        params, cfg, batch["input_ids"], img_embeds, batch["img_pos"]
+    )
+    b, s, d = embeds.shape
+    k = num_beams
+    total = s + max_new_tokens
+    mask = batch["attention_mask"].astype(jnp.int32)
+    prompt_positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0).astype(jnp.int32)
+    prompt_len = jnp.sum(mask, axis=1).astype(jnp.int32)
+
+    # prefill once per sample, then tile the cache across beams
+    cache = init_kv_cache(cfg.llama, b, total)
+    cache_mask = jnp.concatenate(
+        [mask, jnp.ones((b, max_new_tokens), jnp.int32)], axis=1
+    )
+    _, hidden, cache = llama_apply(
+        params["llama"], cfg.llama, embeds, cache_mask, prompt_positions,
+        kv_cache=cache, cache_offset=jnp.int32(0), compute_logits=False,
+    )
+    from certifiedgpt_tpu.models.llama import lm_head_logits
+
+    logp0 = jax.nn.log_softmax(
+        lm_head_logits(params["llama"], hidden[:, -1, :]), axis=-1
+    )  # [B, V]
+    vocab = logp0.shape[-1]
+
+    top_logp, top_tok = jax.lax.top_k(logp0, k)  # [B, K]
+
+    def tile_beams(x):  # [L?, B, ...] cache leaves are [L, B, T, H, Dh]
+        return jnp.repeat(x, k, axis=1)
+
+    cache = {key: tile_beams(val) for key, val in cache.items()}
+    flat_mask = jnp.repeat(cache_mask, k, axis=0)  # [B*K, total]
+
+    scores0 = top_logp.reshape(b * k)  # cumulative logprob per beam
+    tokens0 = top_tok.reshape(b * k).astype(jnp.int32)
+    done0 = tokens0 == eos_token_id
+    lengths0 = jnp.ones((b * k,), jnp.int32)
+    out0 = jnp.full((b * k, max_new_tokens), pad_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(tokens0)
+    positions0 = jnp.repeat(prompt_len, k, axis=0)  # next rotary position
+
+    neg_inf = jnp.float32(-1e30)
+
+    def step(carry, t):
+        cache, out, tokens, scores, done, positions, lengths = carry
+        tok_embed = embed_tokens(params["llama"], tokens[:, None])
+        logits, _, cache = llama_apply(
+            params["llama"], cfg.llama, tok_embed, flat_mask,
+            positions[:, None], kv_cache=cache, cache_offset=s + t,
+        )
+        logp = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32), -1)
+        # finished beams may only extend with eos at no cost
+        eos_only = jnp.full((vocab,), neg_inf).at[eos_token_id].set(0.0)
+        logp = jnp.where(done[:, None], eos_only[None, :], logp)
+
+        cand = scores[:, None] + logp  # [B*K, V]
+        cand = cand.reshape(b, k * vocab)
+        new_scores, flat_idx = jax.lax.top_k(cand, k)  # [B, K]
+        beam_idx = flat_idx // vocab  # which parent beam
+        tok_idx = (flat_idx % vocab).astype(jnp.int32)
+
+        # global indices into the flattened beam axis
+        gather = (jnp.arange(b)[:, None] * k + beam_idx).reshape(b * k)
+        cache = {key: val[:, gather] for key, val in cache.items()}
+        out = out[gather]
+        done = done[gather]
+        lengths = lengths[gather]
+        positions = positions[gather]
+
+        new_tokens = tok_idx.reshape(b * k)
+        out = out.at[:, t + 1].set(
+            jnp.where(done, pad_token_id, new_tokens)
+        )
+        lengths = lengths + jnp.where(done, 0, 1)
+        done = done | (new_tokens == eos_token_id)
+        return (
+            cache, out, new_tokens, new_scores.reshape(b * k), done,
+            positions + 1, lengths,
+        ), None
+
+    carry = (cache, out0, tokens0, scores0, done0, positions0, lengths0)
+    if max_new_tokens > 1:
+        carry, _ = lax.scan(step, carry, jnp.arange(max_new_tokens - 1))
+    _, out, _, scores, _, _, lengths = carry
+
+    # pick the best beam per sample by length-penalized score
+    norm = scores.reshape(b, k) / (
+        lengths.reshape(b, k).astype(jnp.float32) ** length_penalty
+    )
+    best = jnp.argmax(norm, axis=-1)
+    return out.reshape(b, k, max_new_tokens)[jnp.arange(b), best]
+
+
 def rank_answers(
     params: Dict[str, Any],
     cfg: MiniGPT4Config,

@@ -187,3 +187,36 @@ def test_chat_streaming(model):
     # streaming equals batch answer for the same greedy model state
     chat2 = Chat(model, Blip2ImageEvalProcessor(image_size=model.cfg.vit.img_size))
     chat2.upload_img(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8))
+
+
+def test_beam_search_k1_matches_greedy(model):
+    from certifiedgpt_tpu.models.minigpt4 import generate_beam, generate_greedy
+
+    tok = model.tokenizer
+    batch = _gen_batch(model, n=2)
+    greedy = np.asarray(
+        generate_greedy(model.params, model.cfg, batch, 6, tok.eos_token_id)
+    )
+    beam1 = np.asarray(
+        generate_beam(
+            model.params, model.cfg, batch, 6, tok.eos_token_id, num_beams=1
+        )
+    )
+    np.testing.assert_array_equal(beam1, greedy)
+
+
+def test_beam_search_runs_and_scores(model):
+    from certifiedgpt_tpu.models.minigpt4 import generate_beam
+
+    tok = model.tokenizer
+    batch = _gen_batch(model, n=2)
+    out = generate_beam(
+        model.params, model.cfg, batch, 5, tok.eos_token_id,
+        num_beams=3, length_penalty=1.0,
+    )
+    assert out.shape == (2, 5)
+    out2 = generate_beam(
+        model.params, model.cfg, batch, 5, tok.eos_token_id,
+        num_beams=3, length_penalty=1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
