@@ -110,6 +110,16 @@ class EvalAgent(BaseAgent):
         pad = self.model.tokenizer.pad_token_id
         max_new = self.max_new_tokens
         noise_level, noise_dist = self.noise_level, self.noise_dist
+        run = self.run_cfg
+        # decode knobs surfaced like the reference generate
+        # (ref minigpt_base.py:374-388); greedy is the default eval path
+        num_beams = int(run.get("num_beams", 1))
+        do_sample = bool(run.get("do_sample", False))
+        temperature = float(run.get("temperature", 1.0))
+        top_p = float(run.get("top_p", 0.9))
+        length_penalty = float(run.get("length_penalty", 1.0))
+        repetition_penalty = float(run.get("repetition_penalty", 1.0))
+        min_length = int(run.get("min_length", 1))
 
         @jax.jit
         def gen(params, batch, rng):
@@ -117,6 +127,22 @@ class EvalAgent(BaseAgent):
             batch["image"] = add_input_noise(
                 rng, batch["image"], noise_level, noise_dist
             )
+            if num_beams > 1:
+                from certifiedgpt_tpu.models.minigpt4 import generate_beam
+
+                return generate_beam(
+                    params, cfg, batch, max_new, eos, pad,
+                    num_beams=num_beams, length_penalty=length_penalty,
+                )
+            if do_sample or repetition_penalty != 1.0 or min_length > 1:
+                from certifiedgpt_tpu.models.minigpt4 import generate
+
+                return generate(
+                    params, cfg, batch, max_new, eos, pad,
+                    do_sample=do_sample, temperature=temperature,
+                    top_p=top_p, min_length=min_length,
+                    repetition_penalty=repetition_penalty, rng=rng,
+                )
             return generate_greedy(params, cfg, batch, max_new, eos, pad)
 
         return gen

@@ -218,3 +218,42 @@ def test_certify_global_vocab_mode(eval_setup):
     assert summary["total"] == 1
     # global vocab built once from the dataset annotations (all 'cat')
     assert agent._global_vocab.num_classes == 2  # cat + OTHER
+
+
+def test_eval_agent_beam_mode(eval_setup):
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(make_cfg("image_text_eval", num_beams=2))
+    results = agent.run()
+    assert results["num_questions"] == 6
+
+
+def test_certify_sigma_zero_is_deterministic(eval_setup):
+    """sigma=0: every draw is the clean forward, so certification returns
+    the model's greedy answer with (near) certainty and radius formula
+    degenerates to sigma * PHI^-1 = 0 — full-stack semantic sanity."""
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            noise_level=0.0,
+            certify_n0=4,
+            certify_n=12,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=1,
+        )
+    )
+    summary = agent.run()
+    assert summary["total"] == 1
+    import json as _json
+
+    rows = [
+        _json.loads(line)
+        for line in (
+            tmp_path / "out_image_text_certify" / "certify_results.jsonl"
+        ).read_text().splitlines()
+    ]
+    row = rows[0]
+    # all 12 identical draws -> top count = n -> pA_bar ~ CP(12,12) > 0.5
+    assert not row["abstain"]
+    assert row["radius"] == 0.0  # sigma = 0 scales the radius to zero
