@@ -84,6 +84,21 @@ class BaseAgent:
             if os.path.exists(name_or_path)
             else self.checkpoint_path(name_or_path)
         )
+        # optional /tmp staging of remote (fuse-mounted) checkpoints
+        # (ref agents/base.py:47-57 use_cache semantics)
+        if self.run_cfg.get("use_cache", False) and os.path.exists(path):
+            import shutil
+
+            staged = os.path.join("/tmp", os.path.basename(path))
+            if not os.path.exists(staged) or (
+                os.path.getmtime(staged) < os.path.getmtime(path)
+            ):
+                shutil.copy(path, staged)
+                meta = path + ".meta.json"
+                if os.path.exists(meta):
+                    shutil.copy(meta, staged + ".meta.json")
+                self.logger.info("staged checkpoint to %s", staged)
+            path = staged
         return load_checkpoint(path, trainable_template, opt_state_template)
 
     def load_finetuned(self, trainable_template):

@@ -195,20 +195,32 @@ class EvalAgent(BaseAgent):
                 spec,
             )
             n = batch["image"].shape[0]
-            n_data = self.mesh.shape.get("data", 1)
-            if n % n_data == 0:
-                dev = shard_batch(
-                    {"image": batch["image"].astype(np.float32), **text}, self.mesh
+            # pad ragged tail batches to the full batch size: one compiled
+            # generate graph serves every step (a second shape means a
+            # second multi-minute XLA compile at full scale); padded rows
+            # are dropped after decode
+            pad_to = self.batch_size
+            if n < pad_to:
+                reps = pad_to - n
+                images = np.concatenate(
+                    [batch["image"], np.repeat(batch["image"][-1:], reps, 0)]
                 )
-            else:  # ragged tail batch: run replicated
-                dev = shard_batch(
-                    {"image": batch["image"].astype(np.float32), **text}, None
-                )
+                text = {
+                    key: np.concatenate(
+                        [val, np.repeat(val[-1:], reps, 0)], axis=0
+                    )
+                    for key, val in text.items()
+                }
+            else:
+                images = batch["image"]
+            dev = shard_batch(
+                {"image": images.astype(np.float32), **text}, self.mesh
+            )
             tokens = np.asarray(
                 self._generate(
                     self.model.params, dev, jax.random.fold_in(rng, step)
                 )
-            )
+            )[:n]
             answers = self.decode_tokens(tokens)
             gt_lists = batch.get("gt_answers", [[] for _ in range(n)])
             for i, ans in enumerate(answers):
