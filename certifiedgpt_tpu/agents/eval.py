@@ -195,11 +195,12 @@ class EvalAgent(BaseAgent):
                 spec,
             )
             n = batch["image"].shape[0]
-            # pad ragged tail batches to the full batch size: one compiled
-            # generate graph serves every step (a second shape means a
-            # second multi-minute XLA compile at full scale); padded rows
-            # are dropped after decode
-            pad_to = self.batch_size
+            # pad every batch to one fixed, mesh-divisible size: one
+            # compiled generate graph serves every step (a second shape
+            # means a second multi-minute XLA compile at full scale);
+            # padded rows are dropped after decode
+            n_data = self.mesh.shape.get("data", 1)
+            pad_to = -(-self.batch_size // n_data) * n_data
             if n < pad_to:
                 reps = pad_to - n
                 images = np.concatenate(
