@@ -39,9 +39,12 @@ def test_profiler_trace_window(tmp_path):
     assert not profiler._tracing
     profiler.maybe_start(epoch=0, step=1)
     assert profiler._tracing
-    # run something under the trace, then the timer stops it
+    # run something under the trace, then the timer stops it (poll: the
+    # 200 ms timer thread can lag under a loaded test machine)
     jax.numpy.sum(jax.numpy.ones((64, 64))).block_until_ready()
-    time.sleep(0.5)
+    deadline = time.time() + 10.0
+    while profiler._tracing and time.time() < deadline:
+        time.sleep(0.1)
     assert not profiler._tracing
     # a trace directory was produced
     assert os.path.isdir(tmp_path / "trace")
