@@ -87,16 +87,26 @@ class BaseAgent:
         # optional /tmp staging of remote (fuse-mounted) checkpoints
         # (ref agents/base.py:47-57 use_cache semantics)
         if self.run_cfg.get("use_cache", False) and os.path.exists(path):
+            import hashlib
             import shutil
 
-            staged = os.path.join("/tmp", os.path.basename(path))
+            # key by the full source path (basenames collide across
+            # experiments) and stage atomically (a killed copy must not
+            # leave a reusable truncated file)
+            tag = hashlib.md5(
+                os.path.abspath(path).encode()
+            ).hexdigest()[:8]
+            staged = os.path.join("/tmp", f"{tag}_{os.path.basename(path)}")
             if not os.path.exists(staged) or (
                 os.path.getmtime(staged) < os.path.getmtime(path)
             ):
-                shutil.copy(path, staged)
+                tmp = staged + ".partial"
+                shutil.copy(path, tmp)
+                os.replace(tmp, staged)
                 meta = path + ".meta.json"
                 if os.path.exists(meta):
-                    shutil.copy(meta, staged + ".meta.json")
+                    shutil.copy(meta, tmp)
+                    os.replace(tmp, staged + ".meta.json")
                 self.logger.info("staged checkpoint to %s", staged)
             path = staged
         return load_checkpoint(path, trainable_template, opt_state_template)

@@ -120,6 +120,13 @@ class EvalAgent(BaseAgent):
         length_penalty = float(run.get("length_penalty", 1.0))
         repetition_penalty = float(run.get("repetition_penalty", 1.0))
         min_length = int(run.get("min_length", 1))
+        if num_beams > 1 and (
+            do_sample or repetition_penalty != 1.0 or min_length > 1
+        ):
+            self.logger.warning(
+                "num_beams>1: do_sample/repetition_penalty/min_length are "
+                "not applied by beam search"
+            )
 
         @jax.jit
         def gen(params, batch, rng):

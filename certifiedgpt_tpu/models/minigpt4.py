@@ -382,9 +382,12 @@ def generate_beam(
     ``length_penalty`` knobs, ref ``minigpt_base.py:374-388``), fully
     compiled: beams flatten into the batch axis, every step is one
     cached forward + a top-k over [beams * vocab] per sample, and the KV
-    cache is gathered on beam reorder. Finished beams freeze their score
-    (normalized by ``length^length_penalty`` at the end, the HF
-    convention). Returns [B, max_new_tokens] token ids of the best beam.
+    cache is gathered on beam reorder. Finished beams freeze their score;
+    the winner maximizes ``score / generated_length**length_penalty``
+    (normalizing by the generated-token count — HF divides by the full
+    prompt+generated length, so rankings can differ when
+    ``length_penalty != 1``). Returns [B, max_new_tokens] token ids of
+    the best beam.
     """
     img_embeds = encode_img(params, cfg, batch["image"])
     embeds = assemble_embeds(

@@ -167,3 +167,17 @@ def test_reduce_lr_on_plateau_scheduler():
     updates, state3 = tx.update(grads, state2, params)
     # the update path must still work after lr rewrite
     optax.apply_updates(params, updates)
+
+
+def test_use_cache_staging(tiny_run, tmp_path):
+    """use_cache stages checkpoints to /tmp keyed by source path."""
+    config, run_path = tiny_run
+    config.config._data["run"]["use_cache"] = True  # before agent build
+    agent = setup_agent(config)
+    agent.run()
+    trainable = {"llama_proj": agent.model.params["llama_proj"]}
+    loaded, _, meta = agent.load_agent_checkpoint("test_ckpt", trainable)
+    assert "epoch" in meta
+    import glob
+    staged = glob.glob("/tmp/*_test_ckpt.npz")
+    assert staged, "expected a staged copy under /tmp"

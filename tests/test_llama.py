@@ -177,7 +177,6 @@ def test_tensor_parallel_llama_matches_replicated():
     ref, _, _ = llama_apply(params, cfg, x, mask, pos)
 
     mesh = make_mesh(n_data=4, n_model=2)
-    sharded = dict(params)
     sharded = partition_llama(params, mesh)
 
     f = jax.jit(lambda p, x: llama_apply(p, cfg, x, mask, pos)[0])
