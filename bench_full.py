@@ -103,7 +103,7 @@ def main():
     from certifiedgpt_tpu.smoothing.smoothing import Smooth
 
     sigma, n0, n, alpha = 0.5, 100, 1000, 0.001
-    mc_batch = 32
+    mc_batch = 48
 
     cfg = MiniGPT4Config()  # full reference scale
     params = build_full_int8_params(cfg)

@@ -162,12 +162,21 @@ class FinetuneAgent(BaseAgent):
             num_img_tokens=self.model.cfg.num_img_tokens,
             max_answer_len=self.model.cfg.max_txt_len,
         )
-        text = build_train_batch(
-            self.model.tokenizer,
-            host_batch["instruction_input"],
-            host_batch["answer"],
-            spec,
-        )
+        if "turns" in host_batch:
+            # multi-turn conversation datasets (ref tokenize_conversation
+            # layout, minigpt_base.py:208-252)
+            from certifiedgpt_tpu.data.text import build_multiturn_train_batch
+
+            text = build_multiturn_train_batch(
+                self.model.tokenizer, host_batch["turns"], spec
+            )
+        else:
+            text = build_train_batch(
+                self.model.tokenizer,
+                host_batch["instruction_input"],
+                host_batch["answer"],
+                spec,
+            )
         arrays = {
             "image": host_batch["image"].astype(np.float32),
             **text,

@@ -133,3 +133,41 @@ def test_launch_certify_cli(cli_setup):
         (tmp_path / "out_certify" / "certify_summary.json").read_text()
     )
     assert summary["total"] == 1
+
+
+def test_launch_predict_cli(cli_setup):
+    tmp_path, img_dir = cli_setup
+    cfg = {
+        "model": {"arch": "minigpt4", "model_size": "tiny"},
+        "datasets": {
+            "evalvqav2": {
+                "vis_processor": {
+                    "val": {"name": "blip2_image_val", "image_size": 28}
+                },
+                "build_info": {
+                    "images": {"storage": str(img_dir)},
+                    "questions": {"val": [str(tmp_path / "q.json")]},
+                    "annotations": {"val": [str(tmp_path / "a.json")]},
+                },
+            }
+        },
+        "run": {
+            # no agent key: smoothing_predict must route to image_text_predict
+            "predict_n": 8,
+            "certify_alpha": 0.05,
+            "mc_batch": 8,
+            "max_images": 1,
+            "max_new_tokens": 3,
+            "seq_len": 48,
+            "noise_level": 0.25,
+            "output_dir": str(tmp_path / "out_predict"),
+        },
+    }
+    cfg_path = tmp_path / "predict.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    result = _run_cli("smoothing_predict", cfg_path)
+    assert result.returncode == 0, result.stderr[-2000:]
+    summary = json.loads(
+        (tmp_path / "out_predict" / "predict_summary.json").read_text()
+    )
+    assert summary["total"] == 1
