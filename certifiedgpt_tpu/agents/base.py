@@ -133,6 +133,8 @@ class BaseAgent:
         path = os.path.join(self.output_dir, "loss_history.json")
         with open(path, "w") as handle:
             json.dump(self.loss_history, handle)
+        if not any(self.loss_history.values()):
+            return  # nothing to plot (eval/certify agents record no loss)
         try:
             import matplotlib
 
