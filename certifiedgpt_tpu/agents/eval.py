@@ -238,8 +238,12 @@ class EvalAgent(BaseAgent):
                     {
                         "question_id": qid,
                         "image_id": qid,
-                        "question_type": "unknown",
-                        "answer_type": "unknown",
+                        "question_type": batch.get(
+                            "question_type", ["unknown"] * n
+                        )[i],
+                        "answer_type": batch.get(
+                            "answer_type", ["unknown"] * n
+                        )[i],
                         "answers": [
                             {"answer": a, "answer_id": j + 1}
                             for j, a in enumerate(gt_lists[i])

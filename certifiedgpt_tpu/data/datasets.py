@@ -208,6 +208,11 @@ class VQAv2EvalDataset(VQAv2Dataset):
             "instruction_input": instruction,
             "gt_answers": answers,
             "question": question,
+            # real annotation buckets so the official per-question-type /
+            # per-answer-type accuracies can be produced
+            # (ref vqa_eval.py:276-290; BASELINE.md per-category rows)
+            "question_type": annotation.get("question_type", "unknown"),
+            "answer_type": annotation.get("answer_type", "unknown"),
         }
 
 

@@ -27,8 +27,8 @@ def eval_setup(tmp_path):
             {
                 "question_id": qid,
                 "image_id": image_id,
-                "question_type": "what is",
-                "answer_type": "other",
+                "question_type": "what is" if i % 2 == 0 else "is the",
+                "answer_type": "other" if i % 2 == 0 else "yes/no",
                 "answers": [
                     {"answer": "cat", "answer_confidence": "yes", "answer_id": j + 1}
                     for j in range(10)
@@ -78,6 +78,10 @@ def test_eval_agent_end_to_end(eval_setup):
     results = agent.run()
     assert results["num_questions"] == 6
     assert 0.0 <= results["overall_accuracy"] <= 100.0
+    # real annotation buckets must flow through to the official
+    # per-category accuracies (ref vqa_eval.py:276-290; BASELINE.md rows)
+    assert set(results["per_question_type"]) == {"what is", "is the"}
+    assert set(results["per_answer_type"]) == {"other", "yes/no"}
     assert (tmp_path / "out_image_text_eval" / "eval_results.json").exists()
 
 
