@@ -1,56 +1,219 @@
 #!/usr/bin/env python
-"""Headline benchmark: smoothed certification throughput.
+"""Headline benchmark: FULL-SCALE smoothed-certification throughput.
 
 Measures the BASELINE.json north-star configuration — certify ONE VQAv2
-image at n=1000 noise draws, sigma=0.5 — through the full TPU pipeline:
-on-device Gaussian noise -> EVA-ViT encode -> Q-Former -> projection ->
-greedy KV-cache decode -> host answer->label mapping -> Clopper-Pearson
-certification. Model: ``MiniGPT4Config.small()`` (structurally complete,
-random weights; checkpoint-scale weights are not shipped in this image).
+image at n=1000 noise draws, sigma=0.5 — through the complete
+reference-scale pipeline on one chip: EVA ViT-g/14 at 448px (39 layers,
+~1.0B), 12-layer Q-Former, Vicuna-7B-architecture decoder with
+weight-only int8 kernels (ops/quantization.py), on-device Gaussian
+noise -> encode -> greedy KV-cache decode -> host answer->label mapping
+-> Clopper-Pearson certification. Weights are seeded-random at the
+checkpoint shapes (real checkpoints are not shipped in this image); the
+compute cost is identical to a real run.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": ...}
-``vs_baseline`` is target_seconds / measured_seconds vs the <10 s v4-8
-target (>1.0 beats the target).
+``vs_baseline`` is the <10 s v4-8 target (BASELINE.md) converted to this
+chip's bf16 peak (v4-8 = 4x275 TFLOPs), divided by the measured seconds —
+>1.0 beats the target at compute parity. A detail record (per-draw
+TFLOPs, MFU, draws/s) goes to stderr and BENCH.md.
+
+Takes ~4-7 min total on the tunneled v5e (device init + one large XLA
+compile + the measured run). ``--small`` runs the old bench-scale proxy
+model instead (~40 s total) for quick regression checks.
+
+Ref context: the reference never published throughput numbers
+(SURVEY.md §6); the target is driver-supplied (BASELINE.json).
 """
 
+import argparse
+import functools
 import json
+import sys
 import time
 
 import numpy as np
 
+# bf16 peak TFLOPs per chip, by jax device_kind substring.
+_CHIP_PEAK_TFLOPS = {
+    "v6e": 918.0,
+    "v6": 918.0,
+    "v5p": 459.0,
+    "v5e": 197.0,
+    "v5 lite": 197.0,  # axon reports device_kind "TPU v5 lite"
+    "v5litepod": 197.0,
+    "v4": 275.0,
+    "v3": 123.0,
+}
+_DEFAULT_PEAK = 197.0  # assume v5e when the kind is unrecognized (axon)
 
-def main():
+
+def chip_peak_tflops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _CHIP_PEAK_TFLOPS.items():
+        if key in kind:
+            return peak
+    return _DEFAULT_PEAK
+
+
+def flops_per_draw(cfg, seq_len: int, new_tokens: int) -> float:
+    """Analytic matmul FLOPs for ONE noise draw through the full pipeline
+    (ViT encode + Q-Former + projection + decoder prefill + greedy decode).
+    2 FLOPs per MAC; attention counted as the two S x S batched matmuls."""
+    v = cfg.vit
+    S, d, i = v.seq_len, v.embed_dim, v.mlp_hidden
+    vit = v.depth * (8 * S * d * d + 4 * S * S * d + 4 * S * d * i)
+    vit += 2 * S * (v.patch_size**2 * v.in_channels) * d  # patchify
+
+    q = cfg.qformer
+    Q, h, qi, K, ew = (
+        q.num_query_tokens,
+        q.hidden_size,
+        q.intermediate_size,
+        S,
+        q.encoder_width,
+    )
+    qf = q.num_layers * (8 * Q * h * h + 4 * Q * Q * h + 4 * Q * h * qi)
+    n_cross = sum(1 for l in range(q.num_layers) if q.has_cross_attention(l))
+    qf += n_cross * (4 * Q * h * h + 4 * K * ew * h + 4 * Q * K * h)
+
+    lc = cfg.llama
+    D, I = lc.hidden_size, lc.intermediate_size
+    kvd = lc.num_kv_heads * lc.head_dim
+    proj = 2 * Q * h * D
+    per_tok_mm = (
+        2 * D * (lc.num_heads * lc.head_dim)  # q
+        + 4 * D * kvd  # k, v
+        + 2 * (lc.num_heads * lc.head_dim) * D  # o
+        + 6 * D * I  # gate, up, down
+    )
+    prefill = lc.num_layers * (seq_len * per_tok_mm + 4 * seq_len * seq_len * D)
+    prefill += 2 * D * lc.vocab_size  # lm_head, last position only
+    decode = new_tokens * (
+        lc.num_layers * (per_tok_mm + 4 * (seq_len + new_tokens) * D)
+        + 2 * D * lc.vocab_size
+    )
+    return float(vit + qf + proj + prefill + decode)
+
+
+def build_full_int8_params(cfg):
+    """Init the full model directly at serving layout: bf16 towers,
+    int8-quantized decoder kernels — module-by-module so peak HBM stays
+    ~one fp32 layer-stack above the final ~9.2 GB footprint."""
+    import jax
+    import jax.numpy as jnp
+
+    from certifiedgpt_tpu.models import layers as L
+    from certifiedgpt_tpu.models.eva_vit import init_eva_vit
+    from certifiedgpt_tpu.models.qformer import init_qformer
+
+    lc = cfg.llama
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def init_q_module(key, in_dim, out_dim):
+        w = 0.02 * jax.random.normal(
+            key, (lc.num_layers, in_dim, out_dim), jnp.float32
+        )
+        absmax = jnp.max(jnp.abs(w), axis=1)
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127).astype(jnp.int8)
+        return {"kernel_q": q, "scale": scale}
+
+    key = jax.random.PRNGKey(0)
+    d, dh = lc.hidden_size, lc.head_dim
+    kvd, inter = lc.num_kv_heads * dh, lc.intermediate_size
+    mods = {
+        "q_proj": (d, lc.num_heads * dh), "k_proj": (d, kvd),
+        "v_proj": (d, kvd), "o_proj": (lc.num_heads * dh, d),
+        "gate_proj": (d, inter), "up_proj": (d, inter), "down_proj": (inter, d),
+    }
+    layers = {
+        name: init_q_module(jax.random.fold_in(key, i), di, do)
+        for i, (name, (di, do)) in enumerate(mods.items())
+    }
+    layers["input_layernorm"] = {"scale": jnp.ones((lc.num_layers, d), jnp.bfloat16)}
+    layers["post_attention_layernorm"] = {
+        "scale": jnp.ones((lc.num_layers, d), jnp.bfloat16)
+    }
+    llama = {
+        "embed_tokens": {
+            "embedding": 0.02 * jax.random.normal(
+                jax.random.fold_in(key, 100), (lc.vocab_size, d), jnp.bfloat16
+            )
+        },
+        "layers": layers,
+        "norm": {"scale": jnp.ones((d,), jnp.bfloat16)},
+        "lm_head": {
+            "kernel": 0.02 * jax.random.normal(
+                jax.random.fold_in(key, 101), (d, lc.vocab_size), jnp.bfloat16
+            )
+        },
+    }
+    return {
+        "vit": jax.jit(functools.partial(init_eva_vit, cfg=cfg.vit))(
+            jax.random.fold_in(key, 200)
+        ),
+        "ln_vision": L.init_layer_norm(cfg.vit.embed_dim, jnp.bfloat16),
+        "qformer": jax.jit(functools.partial(init_qformer, cfg=cfg.qformer))(
+            jax.random.fold_in(key, 201)
+        ),
+        "llama_proj": L.init_dense(
+            jax.random.fold_in(key, 202),
+            cfg.qformer.hidden_size, d, dtype=jnp.float32,
+        ),
+        "llama": llama,
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--small", action="store_true",
+        help="bench-scale proxy model (fast regression check)",
+    )
+    parser.add_argument("--mc-batch", type=int, default=None)
+    parser.add_argument("--sigma", type=float, default=0.5)
+    parser.add_argument("--n", type=int, default=1000)
+    parser.add_argument("--n0", type=int, default=100)
+    parser.add_argument("--max-new-tokens", type=int, default=10)
+    parser.add_argument("--seq-len", type=int, default=96)
+    args = parser.parse_args(argv)
+
     import jax
 
-    from certifiedgpt_tpu.data.text import BatchSpec, ByteTokenizer, build_gen_batch
-    from certifiedgpt_tpu.models.minigpt4 import (
-        MiniGPT4Config,
-        init_minigpt4,
-    )
+    from certifiedgpt_tpu.data.text import ByteTokenizer
+    from certifiedgpt_tpu.models.minigpt4 import MiniGPT4Config, init_minigpt4
     from certifiedgpt_tpu.models.model_zoo import MiniGPT4Model
     from certifiedgpt_tpu.smoothing.classifier import AnswerVocabulary, make_sample_fn
     from certifiedgpt_tpu.smoothing.smoothing import Smooth
 
-    sigma = 0.5
-    n0, n, alpha = 100, 1000, 0.001
-    mc_batch = 100
-    max_new_tokens = 10
+    if args.small:
+        cfg = MiniGPT4Config.small()
+        params = init_minigpt4(jax.random.PRNGKey(0), cfg)
+        mc_batch = args.mc_batch or 100
+        metric = "certify_1_image_n1000_sigma0.5_smallmodel_seconds"
+        target_chip_seconds = 10.0
+    else:
+        cfg = MiniGPT4Config()  # full reference scale
+        params = build_full_int8_params(cfg)
+        mc_batch = args.mc_batch or 50
+        metric = "certify_1_image_n1000_sigma0.5_fullscale_int8_seconds"
+        peak = chip_peak_tflops(jax.devices()[0])
+        # the <10 s v4-8 target expressed in this chip's compute
+        target_chip_seconds = 10.0 * (4 * 275.0) / peak
 
-    cfg = MiniGPT4Config.small()
-    params = init_minigpt4(jax.random.PRNGKey(0), cfg)
     model = MiniGPT4Model(cfg, params, ByteTokenizer())
-
     vocab = AnswerVocabulary(["cat", "dog", "bird", "2", "yes", "no"])
     instruction = (
         "<Img><ImageHere></Img> [vqa] Based on the image, respond to this "
         "question with a short answer: what animal is this?"
     )
     sample_fn = make_sample_fn(
-        model, instruction, vocab, sigma,
-        mc_batch=mc_batch, max_new_tokens=max_new_tokens, seq_len=96,
+        model, instruction, vocab, args.sigma,
+        mc_batch=mc_batch, max_new_tokens=args.max_new_tokens,
+        seq_len=args.seq_len,
     )
-    smooth = Smooth(sample_fn, vocab.num_classes, sigma)
+    smooth = Smooth(sample_fn, vocab.num_classes, args.sigma)
 
     rng = np.random.RandomState(0)
     image = rng.randn(cfg.vit.img_size, cfg.vit.img_size, 3).astype(np.float32)
@@ -59,17 +222,35 @@ def main():
     sample_fn(image, mc_batch, seed=123)
 
     t0 = time.time()
-    label, radius = smooth.certify(image, n0=n0, n=n, alpha=alpha, seed=7)
+    label, radius = smooth.certify(
+        image, n0=args.n0, n=args.n, alpha=0.001, seed=7
+    )
     seconds = time.time() - t0
 
-    target = 10.0  # <10 s on v4-8 (BASELINE.md north star)
+    # utilization detail (stderr; stdout stays one JSON line)
+    chunks = -(-args.n0 // mc_batch) + -(-args.n // mc_batch)
+    draws = chunks * mc_batch
+    tflop_draw = flops_per_draw(cfg, args.seq_len, args.max_new_tokens) / 1e12
+    peak = chip_peak_tflops(jax.devices()[0])
+    detail = {
+        "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+        "mc_batch": mc_batch,
+        "draws_dispatched": draws,
+        "tflops_per_draw": round(tflop_draw, 3),
+        "model_tflops_per_sec": round(draws * tflop_draw / seconds, 1),
+        "mfu": round(draws * tflop_draw / seconds / peak, 3),
+        "draws_per_sec": round(draws / seconds, 1),
+        "label": int(label),
+        "radius": round(float(radius), 4),
+    }
+    print(json.dumps(detail), file=sys.stderr)
     print(
         json.dumps(
             {
-                "metric": "certify_1_image_n1000_sigma0.5_smallmodel_seconds",
-                "value": round(seconds, 3),
+                "metric": metric,
+                "value": round(seconds, 2),
                 "unit": "s",
-                "vs_baseline": round(target / seconds, 3),
+                "vs_baseline": round(target_chip_seconds / seconds, 3),
             }
         )
     )
