@@ -146,6 +146,11 @@ class FinetuneAgent(BaseAgent):
             if builder_cls is None:
                 raise KeyError(f"Unknown builder '{name}'")
             for split, dataset in builder_cls().build_datasets().items():
+                # hand the model's alignment prompt pool to datasets that
+                # draw per-sample prompts (ref minigpt4.py:80-88)
+                prompt_list = getattr(self.model, "prompt_list", None)
+                if prompt_list and hasattr(dataset, "set_prompts"):
+                    dataset.set_prompts(prompt_list)
                 loaders[split] = Loader(
                     dataset,
                     batch_size=self.batch_size,

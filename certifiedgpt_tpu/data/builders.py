@@ -119,5 +119,7 @@ class CCSbuBuilder(BaseDatasetBuilder):
                 vis_paths=images.get("storage") or images.get(split),
                 annotation_paths=ann_paths,
                 split=split,
+                prompt_path=build_info.get("prompt_path"),
+                prompt_template=build_info.get("prompt_template", "{}"),
             )
         return datasets

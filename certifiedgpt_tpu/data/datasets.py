@@ -249,7 +249,12 @@ class VQAv2TestDataset(BaseDataset):
 
 class CCSbuAlignDataset(BaseDataset):
     """Caption-alignment dataset: ``{image_id}.jpg`` + ``filter_cap.json``
-    (ref ``cc_sbu_align_dataset.py:7-62``)."""
+    (ref ``cc_sbu_align_dataset.py:7-62``).
+
+    Each sample draws a random prompt from the alignment pool
+    (ref ``minigpt4.py:80-88`` draws per training sample from
+    ``prompts/alignment.txt``); the pool comes from ``prompt_path`` /
+    ``prompt_template`` or from the model via ``set_prompts``."""
 
     PROMPT = "<Img><ImageHere></Img> Describe this image in detail."
 
@@ -260,6 +265,9 @@ class CCSbuAlignDataset(BaseDataset):
         vis_paths: Optional[str] = None,
         annotation_paths: Sequence[str] = (),
         split: str = "train",
+        prompt_path: Optional[str] = None,
+        prompt_template: str = "{}",
+        seed: int = 0,
     ):
         super().__init__(
             vis_processor=vis_processor,
@@ -272,6 +280,21 @@ class CCSbuAlignDataset(BaseDataset):
             with open(path, "r") as handle:
                 anns.extend(json.load(handle).get("annotations", []))
         self.annotations = anns
+        self.seed = seed
+        self.epoch = 0
+        from certifiedgpt_tpu.models.model_zoo import load_prompt_pool
+
+        self.prompts: List[str] = (
+            load_prompt_pool(prompt_path, prompt_template) or [self.PROMPT]
+        )
+
+    def set_prompts(self, prompts: Sequence[str]) -> None:
+        """Adopt a model-provided prompt pool (model.prompt_path)."""
+        if prompts:
+            self.prompts = list(prompts)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         ann = self.annotations[index]
@@ -282,9 +305,15 @@ class CCSbuAlignDataset(BaseDataset):
         caption = ann["caption"]
         if self.text_processor is not None:
             caption = self.text_processor(caption)
+        # thread-safe deterministic per-(seed, epoch, index) draw, same
+        # pattern as VQAv2Dataset._item_rng
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, index])
+        )
+        prompt = self.prompts[int(rng.integers(len(self.prompts)))]
         return {
             "image": image.astype(np.float32),
-            "instruction_input": self.PROMPT,
+            "instruction_input": prompt,
             "answer": caption,
             "question_id": index,
         }

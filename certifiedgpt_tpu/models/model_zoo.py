@@ -58,6 +58,22 @@ def _resolve(path) -> Optional[str]:
     return path if os.path.exists(path) else None
 
 
+def load_prompt_pool(prompt_path, prompt_template="{}"):
+    """Load the alignment prompt pool (ref ``minigpt4.py:80-88``): keep
+    only lines containing ``<ImageHere>`` and wrap each in the template.
+    Returns [] when no path is configured or the file is missing."""
+    if not prompt_path:
+        return []
+    path = str(prompt_path)
+    if not os.path.exists(path):
+        get_logger().warning("prompt_path %s not found; no prompt pool", path)
+        return []
+    with open(path, "r") as handle:
+        raw = [line.strip() for line in handle if "<ImageHere>" in line]
+    template = str(prompt_template or "{}")
+    return [template.format(p) for p in raw]
+
+
 def load_model(name: str, model_cfg=None):
     """Model-zoo loader (ref ``graphs/models/minigpt4/models/__init__.py:26-199``
     surface): resolve a registered model by name and build it from config."""
@@ -115,10 +131,19 @@ class MiniGPT4Model:
     """Holds (cfg, params, tokenizer); compute lives in
     ``certifiedgpt_tpu.models.minigpt4`` pure functions."""
 
-    def __init__(self, cfg: MiniGPT4Config, params: Dict[str, Any], tokenizer):
+    def __init__(
+        self,
+        cfg: MiniGPT4Config,
+        params: Dict[str, Any],
+        tokenizer,
+        prompt_list=(),
+    ):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
+        # alignment prompt pool (ref minigpt4.py:41,80-88); datasets that
+        # lack per-sample instructions draw from it (agents inject it)
+        self.prompt_list = list(prompt_list)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -198,7 +223,13 @@ class MiniGPT4Model:
             logger.info("Quantizing decoder weights to int8")
             params["llama"] = quantize_llama(params["llama"])
 
-        return cls(cfg, params, tokenizer)
+        prompt_list = load_prompt_pool(
+            model_cfg.get("prompt_path"), model_cfg.get("prompt_template", "{}")
+        )
+        if prompt_list:
+            logger.info("Loaded %d alignment prompts", len(prompt_list))
+
+        return cls(cfg, params, tokenizer, prompt_list=prompt_list)
 
     # ------------------------------------------------------------------
     @staticmethod

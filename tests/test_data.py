@@ -130,3 +130,63 @@ def test_caption_processor_cleanup():
     proc = BlipCaptionProcessor(max_words=4)
     out = proc('A  "Fancy" Caption: with; lots!! of. words here')
     assert out == "a fancy caption with"
+
+
+@pytest.fixture()
+def cc_sbu_dir(tmp_path):
+    """Synthetic CC-SBU align layout: {image_id}.jpg + filter_cap.json."""
+    img_dir = tmp_path / "cc_image"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    anns = []
+    for i in range(12):
+        arr = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i}.jpg")
+        anns.append({"image_id": str(i), "caption": f"a photo number {i}"})
+    (tmp_path / "filter_cap.json").write_text(
+        json.dumps({"annotations": anns})
+    )
+    return tmp_path
+
+
+def test_cc_sbu_prompt_pool(cc_sbu_dir):
+    """Per-sample prompts draw from the alignment pool
+    (ref minigpt4.py:80-88, prompts/alignment.txt)."""
+    from certifiedgpt_tpu.data.datasets import CCSbuAlignDataset
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ds = CCSbuAlignDataset(
+        vis_processor=Blip2ImageTrainProcessor(image_size=28),
+        text_processor=BlipCaptionProcessor(),
+        vis_paths=str(cc_sbu_dir / "cc_image"),
+        annotation_paths=[str(cc_sbu_dir / "filter_cap.json")],
+        prompt_path=os.path.join(repo, "prompts", "alignment.txt"),
+        prompt_template="{}",
+    )
+    assert len(ds.prompts) >= 4
+    batch = ds.collater([ds[i] for i in range(len(ds))])
+    prompts = set(batch["instruction_input"])
+    assert len(prompts) >= 2, "prompt pool must vary per sample"
+    assert all("<ImageHere>" in p for p in prompts)
+    # deterministic in (seed, epoch, index); fresh draws across epochs
+    assert ds[3]["instruction_input"] == ds[3]["instruction_input"]
+    ds.set_epoch(1)
+    epoch1 = [ds[i]["instruction_input"] for i in range(len(ds))]
+    assert len(set(epoch1)) >= 2
+
+
+def test_cc_sbu_model_prompt_injection(cc_sbu_dir):
+    """A model-provided pool (model.prompt_path) overrides the default
+    single prompt via set_prompts."""
+    from certifiedgpt_tpu.data.datasets import CCSbuAlignDataset
+
+    ds = CCSbuAlignDataset(
+        vis_processor=Blip2ImageTrainProcessor(image_size=28),
+        vis_paths=str(cc_sbu_dir / "cc_image"),
+        annotation_paths=[str(cc_sbu_dir / "filter_cap.json")],
+    )
+    assert ds.prompts == [CCSbuAlignDataset.PROMPT]
+    pool = ["<Img><ImageHere></Img> alpha {}".format(i) for i in range(3)]
+    ds.set_prompts(pool)
+    got = {ds[i]["instruction_input"] for i in range(len(ds))}
+    assert got <= set(pool) and len(got) >= 2
