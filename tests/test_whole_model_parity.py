@@ -1,0 +1,308 @@
+"""Whole-pipeline numerical parity on CONVERTED torch weights.
+
+Builds a tiny torch reference assembly — a BEiT-style EVA block stack
+(fused biasless qkv + separate q_bias / zero-k / v_bias, the layout of
+ref ``eva_vit.py:156-185``), an HF ``Blip2QFormerModel``, an HF
+``LlamaForCausalLM`` and a linear projection — converts all four
+state_dicts with ``models/convert.py``, and asserts the assembled JAX
+pipeline (image -> ViT -> ln_vision -> Q-Former -> proj -> decoder)
+reproduces the torch loss AND greedy tokens end to end.
+
+This closes SURVEY.md hard part #3 (checkpoint-conversion fidelity):
+a wrong transpose/ordering anywhere in the conversion chain fails here
+even when every per-component test stays green.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from certifiedgpt_tpu.data.text import (
+    BatchSpec,
+    ByteTokenizer,
+    build_gen_batch,
+    build_train_batch,
+)
+from certifiedgpt_tpu.models.convert import (
+    convert_eva_vit_state_dict,
+    convert_llama_state_dict,
+    convert_qformer_state_dict,
+)
+from certifiedgpt_tpu.models.minigpt4 import (
+    MiniGPT4Config,
+    generate_greedy,
+    init_minigpt4,
+    minigpt4_loss,
+)
+from certifiedgpt_tpu.models.model_zoo import MiniGPT4Model
+
+torch = pytest.importorskip("torch")
+
+IMG_TOKENS = 8  # QFormerConfig.tiny().num_query_tokens
+
+
+def _torch_eva(vcfg):
+    """Torch oracle for the reference's EVA block semantics
+    (pre-norm, fused qkv with q_bias/zero-k/v_bias, exact GELU MLP),
+    with state_dict keys in the ``eva_vit_g.pth`` dialect."""
+    nn = torch.nn
+
+    class Attention(nn.Module):
+        def __init__(self):
+            super().__init__()
+            d, h = vcfg.embed_dim, vcfg.num_heads
+            self.num_heads = h
+            self.scale = (d // h) ** -0.5
+            self.qkv = nn.Linear(d, 3 * d, bias=False)
+            self.q_bias = nn.Parameter(torch.randn(d) * 0.02)
+            self.v_bias = nn.Parameter(torch.randn(d) * 0.02)
+            self.proj = nn.Linear(d, d)
+
+        def forward(self, x):
+            b, n, c = x.shape
+            bias = torch.cat(
+                [self.q_bias, torch.zeros_like(self.v_bias), self.v_bias]
+            )
+            qkv = torch.nn.functional.linear(x, self.qkv.weight, bias)
+            qkv = qkv.reshape(b, n, 3, self.num_heads, -1).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = ((q * self.scale) @ k.transpose(-2, -1)).softmax(dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(b, n, c)
+            return self.proj(out)
+
+    class Mlp(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = nn.Linear(vcfg.embed_dim, vcfg.mlp_hidden)
+            self.fc2 = nn.Linear(vcfg.mlp_hidden, vcfg.embed_dim)
+
+        def forward(self, x):
+            return self.fc2(torch.nn.functional.gelu(self.fc1(x)))
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(vcfg.embed_dim, eps=vcfg.layer_norm_eps)
+            self.attn = Attention()
+            self.norm2 = nn.LayerNorm(vcfg.embed_dim, eps=vcfg.layer_norm_eps)
+            self.mlp = Mlp()
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class PatchEmbed(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = nn.Conv2d(
+                vcfg.in_channels, vcfg.embed_dim,
+                vcfg.patch_size, stride=vcfg.patch_size,
+            )
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    class Eva(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch_embed = PatchEmbed()
+            self.cls_token = nn.Parameter(torch.randn(1, 1, vcfg.embed_dim) * 0.02)
+            self.pos_embed = nn.Parameter(
+                torch.randn(1, vcfg.seq_len, vcfg.embed_dim) * 0.02
+            )
+            self.blocks = nn.ModuleList([Block() for _ in range(vcfg.depth)])
+
+        def forward(self, x):
+            x = self.patch_embed(x)
+            cls = self.cls_token.expand(x.shape[0], -1, -1)
+            x = torch.cat([cls, x], dim=1) + self.pos_embed
+            for blk in self.blocks:
+                x = blk(x)
+            return x
+
+    return Eva()
+
+
+@pytest.fixture(scope="module")
+def assembly():
+    from transformers import Blip2QFormerConfig, Blip2QFormerModel
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    torch.manual_seed(0)
+    cfg = MiniGPT4Config.tiny()
+
+    eva = _torch_eva(cfg.vit).eval()
+    ln_vision = torch.nn.LayerNorm(cfg.vit.embed_dim, eps=1e-6).eval()
+    with torch.no_grad():
+        ln_vision.weight.copy_(1.0 + 0.05 * torch.randn(cfg.vit.embed_dim))
+        ln_vision.bias.copy_(0.05 * torch.randn(cfg.vit.embed_dim))
+
+    q = cfg.qformer
+    hf_qf = Blip2QFormerModel(
+        Blip2QFormerConfig(
+            vocab_size=32,
+            hidden_size=q.hidden_size,
+            num_hidden_layers=q.num_layers,
+            num_attention_heads=q.num_heads,
+            intermediate_size=q.intermediate_size,
+            cross_attention_frequency=q.cross_attention_freq,
+            encoder_hidden_size=q.encoder_width,
+        )
+    ).eval()
+    query_tokens = torch.randn(1, q.num_query_tokens, q.hidden_size) * 0.02
+
+    lc = cfg.llama
+    hf_llama = LlamaForCausalLM(
+        HFLlamaConfig(
+            vocab_size=lc.vocab_size,
+            hidden_size=lc.hidden_size,
+            intermediate_size=lc.intermediate_size,
+            num_hidden_layers=lc.num_layers,
+            num_attention_heads=lc.num_heads,
+            num_key_value_heads=lc.num_kv_heads,
+            max_position_embeddings=lc.max_position_embeddings,
+            rms_norm_eps=lc.rms_norm_eps,
+            tie_word_embeddings=False,
+        )
+    ).eval()
+
+    proj = torch.nn.Linear(q.hidden_size, lc.hidden_size).eval()
+
+    # --- convert every torch state_dict into the JAX param pytree ---
+    params = init_minigpt4(jax.random.PRNGKey(0), cfg)
+    params["vit"] = convert_eva_vit_state_dict(eva.state_dict(), cfg.vit)
+    qf_params = convert_qformer_state_dict(hf_qf.state_dict(), cfg.qformer)
+    qf_params["query_tokens"] = jnp.asarray(query_tokens.detach().numpy())
+    params["qformer"] = qf_params
+    params["llama"] = convert_llama_state_dict(hf_llama.state_dict(), lc)
+    MiniGPT4Model._load_projection(
+        params,
+        {
+            "llama_proj.weight": proj.weight,
+            "llama_proj.bias": proj.bias,
+            "ln_vision.weight": ln_vision.weight,
+            "ln_vision.bias": ln_vision.bias,
+        },
+    )
+
+    return {
+        "cfg": cfg,
+        "params": params,
+        "eva": eva,
+        "ln_vision": ln_vision,
+        "hf_qf": hf_qf,
+        "query_tokens": query_tokens,
+        "hf_llama": hf_llama,
+        "proj": proj,
+    }
+
+
+def _torch_encode_img(a, images_nhwc: np.ndarray) -> "torch.Tensor":
+    x = torch.tensor(images_nhwc).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        feats = a["ln_vision"](a["eva"](x))
+        queries = a["hf_qf"](
+            query_embeds=a["query_tokens"].expand(x.shape[0], -1, -1),
+            encoder_hidden_states=feats,
+        ).last_hidden_state
+        return a["proj"](queries)
+
+
+def _torch_paste(a, input_ids, img_tokens, img_pos):
+    embeds = a["hf_llama"].model.embed_tokens(torch.tensor(input_ids.astype(np.int64)))
+    embeds = embeds.clone()
+    for i in range(embeds.shape[0]):
+        p = int(img_pos[i])
+        embeds[i, p : p + IMG_TOKENS] = img_tokens[i]
+    return embeds
+
+
+def test_loss_parity_on_converted_weights(assembly):
+    a = assembly
+    cfg, params = a["cfg"], a["params"]
+    tok = ByteTokenizer()
+    spec = BatchSpec(seq_len=48, num_img_tokens=IMG_TOKENS, max_answer_len=12)
+    instructions = [
+        "<Img><ImageHere></Img> [vqa] what is it?",
+        "<Img><ImageHere></Img> [vqa] color?",
+    ]
+    answers = ["cat", "blue"]
+    text = build_train_batch(tok, instructions, answers, spec)
+    rng = np.random.RandomState(3)
+    images = rng.randn(2, cfg.vit.img_size, cfg.vit.img_size, 3).astype(np.float32)
+
+    batch = {k: jnp.asarray(v) for k, v in text.items()}
+    batch["image"] = jnp.asarray(images)
+    ours = float(minigpt4_loss(params, cfg, batch))
+
+    img_tokens = _torch_encode_img(a, images)
+    embeds = _torch_paste(a, text["input_ids"], img_tokens, text["img_pos"])
+    with torch.no_grad():
+        logits = a["hf_llama"](
+            inputs_embeds=embeds,
+            attention_mask=torch.tensor(text["attention_mask"].astype(np.int64)),
+        ).logits
+    labels = torch.tensor(text["labels"].astype(np.int64))
+    ref = torch.nn.functional.cross_entropy(
+        logits[:, :-1].reshape(-1, cfg.llama.vocab_size),
+        labels[:, 1:].reshape(-1),
+        ignore_index=-100,
+        label_smoothing=cfg.label_smoothing,
+    )
+    assert abs(ours - float(ref)) < 1e-3, (ours, float(ref))
+
+
+def test_greedy_tokens_parity_on_converted_weights(assembly):
+    a = assembly
+    cfg, params = a["cfg"], a["params"]
+    tok = ByteTokenizer()
+    spec = BatchSpec(seq_len=40, num_img_tokens=IMG_TOKENS)
+    instructions = [
+        "<Img><ImageHere></Img> [vqa] what?",
+        "<Img><ImageHere></Img> describe",
+    ]
+    text = build_gen_batch(tok, instructions, spec)
+    rng = np.random.RandomState(5)
+    images = rng.randn(2, cfg.vit.img_size, cfg.vit.img_size, 3).astype(np.float32)
+    max_new = 4
+
+    batch = {k: jnp.asarray(v) for k, v in text.items()}
+    batch["image"] = jnp.asarray(images)
+    ours = np.asarray(
+        generate_greedy(
+            params, cfg, batch, max_new, tok.eos_token_id, tok.pad_token_id
+        )
+    )
+
+    # torch greedy loop: full re-forward per step (tiny model), explicit
+    # left-pad-aware positions matching generate()'s rotary convention
+    img_tokens = _torch_encode_img(a, images)
+    embeds = _torch_paste(a, text["input_ids"], img_tokens, text["img_pos"])
+    mask = torch.tensor(text["attention_mask"].astype(np.int64))
+    ref_rows = []
+    for i in range(2):
+        emb = embeds[i : i + 1]
+        m = mask[i : i + 1]
+        toks = []
+        for _ in range(max_new):
+            positions = torch.clamp(torch.cumsum(m, dim=1) - 1, min=0)
+            with torch.no_grad():
+                logits = a["hf_llama"](
+                    inputs_embeds=emb, attention_mask=m, position_ids=positions
+                ).logits
+            nxt = int(torch.argmax(logits[0, -1]))
+            toks.append(nxt)
+            if nxt == tok.eos_token_id:
+                break
+            nxt_emb = a["hf_llama"].model.embed_tokens(
+                torch.tensor([[nxt]])
+            )
+            emb = torch.cat([emb, nxt_emb], dim=1)
+            m = torch.cat([m, torch.ones((1, 1), dtype=m.dtype)], dim=1)
+        ref_rows.append(toks)
+
+    for i, ref_toks in enumerate(ref_rows):
+        got = ours[i][: len(ref_toks)].tolist()
+        assert got == ref_toks, (i, got, ref_toks, ours[i].tolist())
