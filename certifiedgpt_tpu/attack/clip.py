@@ -262,9 +262,16 @@ def _init_conv(key, kh, kw, cin, cout, dtype):
     }
 
 
-def _conv(params, x, stride=1, padding="SAME"):
+def _conv(params, x, stride=1):
+    """Conv with torch-style symmetric padding ((k-1)//2 per side).
+
+    XLA's "SAME" pads asymmetrically (extra on the right) for stride-2
+    3x3 convs, which shifts every window one pixel vs torch's pad=1 —
+    explicit padding keeps converted OpenAI checkpoints exact."""
+    kh, kw = params["kernel"].shape[:2]
+    pad = ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)
     return jax.lax.conv_general_dilated(
-        x, params["kernel"], (stride, stride), padding,
+        x, params["kernel"], (stride, stride), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 
@@ -472,3 +479,75 @@ def convert_hf_clip(sd: Dict[str, Any], vit_cfg: ClipViTConfig,
         "proj": jnp.asarray(_np(sd["text_projection.weight"]).T, text_cfg.dtype),
     }
     return {"vision": vision, "text": text}
+
+
+# ======================================================================
+# OpenAI CLIP ResNet converter (``visual.*`` checkpoint layout)
+# ======================================================================
+def convert_openai_clip_resnet(
+    sd: Dict[str, Any], cfg: ClipResNetConfig
+) -> Dict[str, Any]:
+    """OpenAI CLIP ``visual.*`` ResNet state_dict -> ``init_clip_resnet``
+    pytree (the RN50/RN101 surrogates of the attack stage,
+    ref README.md:114-115). Conv kernels go [O, I, kh, kw] -> HWIO;
+    BatchNorm running stats map onto the folded-at-inference leaves;
+    ``downsample`` is OpenAI's AvgPool("-1")+Conv("0")+BN("1") sequence;
+    the attention pool maps q/k/v/c_proj and the positional embedding."""
+
+    def _np(t):
+        return (
+            t.detach().cpu().float().numpy() if hasattr(t, "detach")
+            else np.asarray(t)
+        )
+
+    dt = cfg.dtype
+
+    def conv(key):
+        return {"kernel": jnp.asarray(_np(sd[key + ".weight"]).transpose(2, 3, 1, 0), dt)}
+
+    def bn(key):
+        return {
+            "scale": jnp.asarray(_np(sd[key + ".weight"]), dt),
+            "bias": jnp.asarray(_np(sd[key + ".bias"]), dt),
+            "mean": jnp.asarray(_np(sd[key + ".running_mean"]), dt),
+            "var": jnp.asarray(_np(sd[key + ".running_var"]), dt),
+        }
+
+    def lin(key):
+        return {
+            "kernel": jnp.asarray(_np(sd[key + ".weight"]).T, dt),
+            "bias": jnp.asarray(_np(sd[key + ".bias"]), dt),
+        }
+
+    params: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = conv(f"visual.conv{i}")
+        params[f"bn{i}"] = bn(f"visual.bn{i}")
+
+    for stage, blocks in enumerate(cfg.layers):
+        stage_params = []
+        for b in range(blocks):
+            base = f"visual.layer{stage + 1}.{b}"
+            lp = {
+                "conv1": conv(base + ".conv1"), "bn1": bn(base + ".bn1"),
+                "conv2": conv(base + ".conv2"), "bn2": bn(base + ".bn2"),
+                "conv3": conv(base + ".conv3"), "bn3": bn(base + ".bn3"),
+            }
+            if base + ".downsample.0.weight" in sd:
+                lp["downsample"] = {
+                    "conv": conv(base + ".downsample.0"),
+                    "bn": bn(base + ".downsample.1"),
+                }
+            stage_params.append(lp)
+        params[f"layer{stage + 1}"] = stage_params
+
+    params["attnpool"] = {
+        "pos_embed": jnp.asarray(
+            _np(sd["visual.attnpool.positional_embedding"]), dt
+        ),
+        "q": lin("visual.attnpool.q_proj"),
+        "k": lin("visual.attnpool.k_proj"),
+        "v": lin("visual.attnpool.v_proj"),
+        "proj": lin("visual.attnpool.c_proj"),
+    }
+    return params

@@ -161,3 +161,144 @@ def test_attack_success_and_ancova():
     inter = coefs["sigma:backbone[vit]"]
     assert abs(inter["estimate"] - (-0.01)) < 2e-3
     assert table["r_squared"] > 0.9
+
+
+def test_clip_resnet_openai_oracle():
+    """Converted OpenAI ``visual.*`` weights reproduce a torch
+    ModifiedResNet oracle (blur-pool stem, avgpool bottleneck downsample,
+    attention pool) — the RN50/RN101 surrogates of ref README.md:114-115."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    import torch.nn.functional as F
+    from collections import OrderedDict
+
+    from certifiedgpt_tpu.attack.clip import (
+        ClipResNetConfig,
+        clip_resnet_image,
+        convert_openai_clip_resnet,
+    )
+
+    class Bottleneck(nn.Module):
+        def __init__(self, inplanes, planes, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.avgpool = nn.AvgPool2d(stride) if stride > 1 else nn.Identity()
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.stride = stride
+            self.downsample = None
+            if stride > 1 or inplanes != planes * 4:
+                self.downsample = nn.Sequential(
+                    OrderedDict(
+                        [
+                            ("-1", nn.AvgPool2d(stride)),
+                            ("0", nn.Conv2d(inplanes, planes * 4, 1, bias=False)),
+                            ("1", nn.BatchNorm2d(planes * 4)),
+                        ]
+                    )
+                )
+
+        def forward(self, x):
+            identity = x
+            out = F.relu(self.bn1(self.conv1(x)))
+            out = F.relu(self.bn2(self.conv2(out)))
+            out = self.avgpool(out)
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return F.relu(out + identity)
+
+    class AttentionPool2d(nn.Module):
+        def __init__(self, spacial_dim, embed_dim, num_heads, output_dim):
+            super().__init__()
+            self.positional_embedding = nn.Parameter(
+                torch.randn(spacial_dim**2 + 1, embed_dim) / embed_dim**0.5
+            )
+            self.k_proj = nn.Linear(embed_dim, embed_dim)
+            self.q_proj = nn.Linear(embed_dim, embed_dim)
+            self.v_proj = nn.Linear(embed_dim, embed_dim)
+            self.c_proj = nn.Linear(embed_dim, output_dim)
+            self.num_heads = num_heads
+
+        def forward(self, x):
+            x = x.flatten(start_dim=2).permute(2, 0, 1)  # NCHW -> (HW)NC
+            x = torch.cat([x.mean(dim=0, keepdim=True), x], dim=0)
+            x = x + self.positional_embedding[:, None, :]
+            x, _ = F.multi_head_attention_forward(
+                query=x[:1], key=x, value=x,
+                embed_dim_to_check=x.shape[-1], num_heads=self.num_heads,
+                q_proj_weight=self.q_proj.weight,
+                k_proj_weight=self.k_proj.weight,
+                v_proj_weight=self.v_proj.weight,
+                in_proj_weight=None,
+                in_proj_bias=torch.cat(
+                    [self.q_proj.bias, self.k_proj.bias, self.v_proj.bias]
+                ),
+                bias_k=None, bias_v=None, add_zero_attn=False, dropout_p=0.0,
+                out_proj_weight=self.c_proj.weight,
+                out_proj_bias=self.c_proj.bias,
+                use_separate_proj_weight=True,
+                training=False, need_weights=False,
+            )
+            return x.squeeze(0)
+
+    class ModifiedResNet(nn.Module):
+        def __init__(self, layers, width, image_size, embed_dim, heads):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, width // 2, 3, stride=2, padding=1, bias=False)
+            self.bn1 = nn.BatchNorm2d(width // 2)
+            self.conv2 = nn.Conv2d(width // 2, width // 2, 3, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(width // 2)
+            self.conv3 = nn.Conv2d(width // 2, width, 3, padding=1, bias=False)
+            self.bn3 = nn.BatchNorm2d(width)
+            self.avgpool = nn.AvgPool2d(2)
+            self._inplanes = width
+            self.layer1 = self._make_layer(width, layers[0], stride=1)
+            self.layer2 = self._make_layer(width * 2, layers[1], stride=2)
+            self.layer3 = self._make_layer(width * 4, layers[2], stride=2)
+            self.layer4 = self._make_layer(width * 8, layers[3], stride=2)
+            self.attnpool = AttentionPool2d(
+                image_size // 32, width * 32, heads, embed_dim
+            )
+
+        def _make_layer(self, planes, blocks, stride):
+            mods = [Bottleneck(self._inplanes, planes, stride)]
+            self._inplanes = planes * 4
+            for _ in range(1, blocks):
+                mods.append(Bottleneck(self._inplanes, planes))
+            return nn.Sequential(*mods)
+
+        def forward(self, x):
+            x = F.relu(self.bn1(self.conv1(x)))
+            x = F.relu(self.bn2(self.conv2(x)))
+            x = F.relu(self.bn3(self.conv3(x)))
+            x = self.avgpool(x)
+            for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+                x = layer(x)
+            return self.attnpool(x)
+
+    cfg = ClipResNetConfig.tiny()
+    torch.manual_seed(0)
+    wrapper = nn.Module()
+    wrapper.visual = ModifiedResNet(
+        cfg.layers, cfg.width, cfg.image_size, cfg.embed_dim, cfg.heads
+    )
+    wrapper.eval()
+    # randomize BN running stats so folding bugs can't hide behind 0/1
+    with torch.no_grad():
+        for mod in wrapper.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.running_mean.copy_(0.1 * torch.randn_like(mod.running_mean))
+                mod.running_var.copy_(0.5 + torch.rand_like(mod.running_var))
+
+    params = convert_openai_clip_resnet(wrapper.state_dict(), cfg)
+
+    rng = np.random.RandomState(0)
+    images = rng.randn(2, cfg.image_size, cfg.image_size, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = wrapper.visual(torch.tensor(images).permute(0, 3, 1, 2)).numpy()
+    ours = np.asarray(clip_resnet_image(params, cfg, jnp.asarray(images)))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
