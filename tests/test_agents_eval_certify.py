@@ -261,3 +261,35 @@ def test_certify_sigma_zero_is_deterministic(eval_setup):
     # all 12 identical draws -> top count = n -> pA_bar ~ CP(12,12) > 0.5
     assert not row["abstain"]
     assert row["radius"] == 0.0  # sigma = 0 scales the radius to zero
+
+
+def test_certify_compiles_once_per_sigma(eval_setup):
+    """Dataset-scale certify must reuse ONE compiled noisy-generate graph
+    across images (a per-image retrace would add a multi-minute XLA
+    compile per image at full scale — VERDICT r1 weak #8)."""
+    import time
+
+    from certifiedgpt_tpu.common.metrics import jit_cache_size
+
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            certify_n0=4,
+            certify_n=8,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=6,
+        )
+    )
+    t0 = time.time()
+    summary = agent.run()
+    elapsed = time.time() - t0
+    assert summary["total"] == 6
+    # exactly one sigma entry, and its jitted generate holds ONE compiled
+    # variant after six different (image, question, vocab) items
+    assert len(agent._gen_cache) == 1
+    (gen,) = agent._gen_cache.values()
+    assert jit_cache_size(gen) == 1, "noisy-generate retraced across images"
+    # informational: s/image at tiny scale (compile amortization check)
+    print(f"certify mean s/image (tiny): {elapsed / 6:.2f}")
