@@ -32,8 +32,14 @@ class Loader:
         seed: int = 0,
         prefetch: int = 2,
         num_workers: int = 4,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
+        # batch_size is the GLOBAL batch; under multi-process SPMD each
+        # process loads only its contiguous 1/process_count slice of every
+        # batch (the jax-native DistributedSampler: same seeded order on
+        # every host, disjoint rows — ref minigpt4_finetune_agent.py:315-320)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
@@ -44,6 +50,17 @@ class Loader:
         # num_workers (ref minigpt4_finetune_agent.py:291-335)
         self.num_workers = max(int(num_workers), 1)
         self.epoch = 0
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
+        if self.process_count > 1 and batch_size % self.process_count != 0:
+            raise ValueError(
+                f"Global batch_size {batch_size} must be divisible by the "
+                f"process count ({self.process_count})"
+            )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -63,6 +80,13 @@ class Loader:
             return rng.permutation(n)
         return np.arange(n)
 
+    def _local_slice(self, idx: np.ndarray) -> np.ndarray:
+        """This process's rows of a global batch (contiguous split)."""
+        if self.process_count <= 1:
+            return idx
+        per = len(idx) // self.process_count
+        return idx[self.process_index * per : (self.process_index + 1) * per]
+
     def _batches(self) -> Iterator[Dict[str, Any]]:
         import concurrent.futures
 
@@ -79,6 +103,7 @@ class Loader:
                     len(idx) < self.batch_size and self.drop_last
                 ):
                     continue
+                idx = self._local_slice(idx)
                 yield self.dataset.collater([load(i) for i in idx])
             return
 
@@ -89,6 +114,7 @@ class Loader:
                     len(idx) < self.batch_size and self.drop_last
                 ):
                     continue
+                idx = self._local_slice(idx)
                 yield self.dataset.collater(list(pool.map(load, idx)))
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
@@ -153,26 +179,40 @@ def shard_batch(
 ) -> Dict[str, Any]:
     """Device-put array fields, sharding the batch dim over ``data_axis``.
 
+    Single-process: a plain ``device_put`` with a ``NamedSharding``.
+    Multi-process SPMD (``jax.process_count() > 1``): each host passes its
+    LOCAL rows (from the Loader's per-process slice) and the global array
+    is assembled with ``jax.make_array_from_process_local_data`` — the
+    jax-native replacement for the reference's per-core MpDeviceLoader
+    feed (ref ``minigpt4_finetune_agent.py:152``).
+
     Non-array fields (strings, lists) pass through untouched for the
     host-side parts of eval/certify loops.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_data = mesh.shape.get(data_axis, 1) if mesh is not None else 1
+    multiprocess = mesh is not None and jax.process_count() > 1
     out: Dict[str, Any] = {}
     for key, value in batch.items():
         if isinstance(value, np.ndarray) and value.dtype != object:
             if mesh is None:
                 out[key] = jax.numpy.asarray(value)
             else:
-                if value.shape[0] % n_data != 0:
-                    raise ValueError(
-                        f"Global batch dim {value.shape[0]} of '{key}' must be "
-                        f"divisible by the mesh '{data_axis}' axis ({n_data}); "
-                        f"pick a batch_size that is a multiple of the device count"
-                    )
                 spec = P(data_axis, *([None] * (value.ndim - 1)))
-                out[key] = jax.device_put(value, NamedSharding(mesh, spec))
+                sharding = NamedSharding(mesh, spec)
+                if multiprocess:
+                    out[key] = jax.make_array_from_process_local_data(
+                        sharding, value
+                    )
+                else:
+                    if value.shape[0] % n_data != 0:
+                        raise ValueError(
+                            f"Global batch dim {value.shape[0]} of '{key}' must be "
+                            f"divisible by the mesh '{data_axis}' axis ({n_data}); "
+                            f"pick a batch_size that is a multiple of the device count"
+                        )
+                    out[key] = jax.device_put(value, sharding)
         else:
             out[key] = value
     return out
