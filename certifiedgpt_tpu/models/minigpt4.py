@@ -299,7 +299,12 @@ def generate(
 
     logits_last = lm_head_logits(params["llama"], hidden[:, -1, :])
     vocab = logits_last.shape[-1]
-    counts0 = jnp.zeros((b, vocab), jnp.int32)
+    # token-count table for the repetition penalty. When the penalty is
+    # off (the greedy certify/eval hot path) keep a 1-wide dummy instead:
+    # the per-step [B, vocab] scatter-add sits on the scan's critical
+    # path and costs real decode time on TPU.
+    track_counts = repetition_penalty != 1.0
+    counts0 = jnp.zeros((b, vocab if track_counts else 1), jnp.int32)
 
     def pick(step_logits, counts, t, key):
         step_logits = _apply_repetition_penalty(
@@ -320,7 +325,8 @@ def generate(
         )
 
     first = pick(logits_last, counts0, jnp.int32(0), jax.random.fold_in(rng, 0))
-    counts0 = counts0.at[jnp.arange(b), first].add(1)
+    if track_counts:
+        counts0 = counts0.at[jnp.arange(b), first].add(1)
 
     def step(carry, t):
         cache, token, positions, done, counts = carry
@@ -336,7 +342,8 @@ def generate(
         )
         key = jax.random.fold_in(rng, t + 1)
         new_token = pick(logits[:, -1, :], counts, t + 1, key)
-        counts = counts.at[jnp.arange(b), new_token].add(1)
+        if track_counts:
+            counts = counts.at[jnp.arange(b), new_token].add(1)
         out_token = jnp.where(done, pad_token_id, token)
         done = done | (token == eos_token_id)
         new_token = jnp.where(done, eos_token_id, new_token)
@@ -418,10 +425,8 @@ def generate_beam(
 
     top_logp, top_tok = jax.lax.top_k(logp0, k)  # [B, K]
 
-    def tile_beams(x):  # [L?, B, ...] cache leaves are [L, B, T, H, Dh]
-        return jnp.repeat(x, k, axis=1)
-
-    cache = {key: tile_beams(val) for key, val in cache.items()}
+    # cache leaves are per-layer [B, T, H, Dh]; tile the batch axis
+    cache = jax.tree.map(lambda x: jnp.repeat(x, k, axis=0), cache)
     flat_mask = jnp.repeat(cache_mask, k, axis=0)  # [B*K, total]
 
     scores0 = top_logp.reshape(b * k)  # cumulative logprob per beam
@@ -454,7 +459,7 @@ def generate_beam(
 
         # global indices into the flattened beam axis
         gather = (jnp.arange(b)[:, None] * k + beam_idx).reshape(b * k)
-        cache = {key: val[:, gather] for key, val in cache.items()}
+        cache = jax.tree.map(lambda val: val[gather], cache)
         out = out[gather]
         done = done[gather]
         lengths = lengths[gather]

@@ -120,7 +120,14 @@ def make_noisy_generate_fn(
     # NOTE: params are an explicit argument — closing over them would bake
     # hundreds of MB of weights into the jaxpr as constants and stall
     # compilation.
-    def fn(params, image, input_ids, attention_mask, img_pos, key):
+    #
+    # The noise draw is a SEPARATE compiled program from the generate
+    # graph: fusing the threefry RNG into the full-scale unrolled-decode
+    # graph crashes this image's TPU backend (verified bisect — the same
+    # HLO minus the in-graph RNG compiles and runs), and the split costs
+    # only one extra ~3 ms dispatch per chunk.
+    @jax.jit
+    def noise_fn(image, key):
         # tile the single sample to the Monte-Carlo batch; the fused Pallas
         # path draws the Gaussian on-core (ops/noise.py), the XLA fallback
         # covers CPU tests and the uniform bug-compat mode.
@@ -133,15 +140,19 @@ def make_noisy_generate_fn(
             from certifiedgpt_tpu.ops.noise import noisy_tile
 
             images = noisy_tile(image, mc_batch, sigma, key)
+        if mc_sharding is not None:
+            images = jax.lax.with_sharding_constraint(
+                images, mc_sharding(images.ndim)
+            )
+        return images
+
+    @jax.jit
+    def gen_fn(params, images, input_ids, attention_mask, img_pos):
         batch = {
             "image": images,
-            "input_ids": jnp.broadcast_to(
-                input_ids, (mc_batch,) + input_ids.shape[1:]
-            ),
-            "attention_mask": jnp.broadcast_to(
-                attention_mask, (mc_batch,) + attention_mask.shape[1:]
-            ),
-            "img_pos": jnp.broadcast_to(img_pos, (mc_batch,)),
+            "input_ids": input_ids,
+            "attention_mask": attention_mask,
+            "img_pos": img_pos,
         }
         if mc_sharding is not None:
             batch = {
@@ -150,7 +161,23 @@ def make_noisy_generate_fn(
             }
         return generate_greedy(params, cfg, batch, max_new_tokens, eos, pad)
 
-    return jax.jit(fn)
+    def fn(params, image, input_ids, attention_mask, img_pos, key):
+        images = noise_fn(image, key)
+        tiled = []
+        for value in (input_ids, attention_mask):
+            arr = jnp.broadcast_to(value, (mc_batch,) + value.shape[1:])
+            if mc_sharding is not None:
+                arr = jax.device_put(arr, mc_sharding(arr.ndim))
+            tiled.append(arr)
+        pos = jnp.broadcast_to(img_pos, (mc_batch,))
+        if mc_sharding is not None:
+            pos = jax.device_put(pos, mc_sharding(1))
+        return gen_fn(params, images, tiled[0], tiled[1], pos)
+
+    # expose the generate graph's compile-cache size for the
+    # one-compile-per-sigma regression check (common/metrics.py)
+    fn._cache_size = gen_fn._cache_size
+    return fn
 
 
 def make_sample_fn(
