@@ -96,6 +96,18 @@ class FinetuneAgent(BaseAgent):
                 project=str(self.run_cfg.get("wandb_name", "certifiedgpt_tpu")),
                 config=self.config.to_dict(),
             )
+            # step-metric definitions (ref minigpt4_finetune_agent.py:454-478);
+            # param_norm is the functional analogue of wandb.watch(model) —
+            # there is no torch module to hook, so the trainable pytree's
+            # global norm is logged per epoch instead.
+            try:
+                run.define_metric("epoch")
+                for metric in (
+                    "train_loss", "val_loss", "learning_rate", "param_norm"
+                ):
+                    run.define_metric(metric, step_metric="epoch")
+            except Exception:  # older wandb without define_metric
+                pass
             return run
         except Exception as exc:
             self.logger.warning("wandb unavailable: %s", exc)
@@ -207,6 +219,17 @@ class FinetuneAgent(BaseAgent):
         self.metrics.log_event(f"debug_graph_computation loss={loss_f:.4f}")
         return {"loss": loss_f, "steps": 1}
 
+    def _run_validation(self, trainable, frozen, val_loader, rng) -> float:
+        v_sum, v_n = 0.0, 0
+        for batch in val_loader:
+            dev_batch = self.device_batch(batch)
+            step_rng = jax.random.fold_in(rng, 10_000_000 + v_n)
+            v_sum += float(
+                self._eval_step(trainable, frozen, dev_batch, step_rng)
+            )
+            v_n += 1
+        return v_sum / max(v_n, 1)
+
     def run(self) -> Dict[str, Any]:
         run = self.run_cfg
         if run.get("debug_graph_computation", False):
@@ -214,7 +237,8 @@ class FinetuneAgent(BaseAgent):
         loaders = self.create_loaders()
         train_loader = loaders.get("train")
         val_loader = loaders.get("val") if run.get("has_val_split", True) else None
-        if train_loader is None:
+        evaluate_only = bool(run.get("evaluate", False))
+        if train_loader is None and not evaluate_only:
             raise RuntimeError("No train split configured")
 
         trainable, frozen = split_params(
@@ -236,6 +260,18 @@ class FinetuneAgent(BaseAgent):
                 self.logger.info("Resumed from %s at epoch %d", resume, start_epoch)
             except FileNotFoundError:
                 self.logger.info("No resume checkpoint at %s; fresh start", resume)
+
+        if evaluate_only:
+            # run.evaluate: validation-loss pass only, no training — the
+            # reference surfaces this knob in every train config
+            # (ref vqav2_finetuning_noise_0.5.yaml:84, Config.evaluate_only)
+            if val_loader is None:
+                raise RuntimeError("run.evaluate needs a val split")
+            val_loss = self._run_validation(trainable, frozen, val_loader, rng)
+            self.record_loss("val", val_loss)
+            self.logger.info("evaluate-only: val_loss %.4f", val_loss)
+            self.save_history()
+            return {"val_loss": val_loss, "epochs": 0, "evaluate_only": True}
 
         ckpt_name = str(run.get("checkpoint_name", "checkpoint"))
         best_val = float("inf")
@@ -275,15 +311,7 @@ class FinetuneAgent(BaseAgent):
 
             val_loss = None
             if val_loader is not None:
-                v_sum, v_n = 0.0, 0
-                for batch in val_loader:
-                    dev_batch = self.device_batch(batch)
-                    step_rng = jax.random.fold_in(rng, 10_000_000 + v_n)
-                    v_sum += float(
-                        self._eval_step(trainable, frozen, dev_batch, step_rng)
-                    )
-                    v_n += 1
-                val_loss = v_sum / max(v_n, 1)
+                val_loss = self._run_validation(trainable, frozen, val_loader, rng)
                 self.record_loss("val", val_loss)
                 self.logger.info("epoch %d val_loss %.4f", epoch, val_loss)
 
@@ -296,10 +324,17 @@ class FinetuneAgent(BaseAgent):
                 self.logger.info("plateau scheduler lr -> %.2e", new_lr)
 
             if self.wandb_run is not None:
+                param_norm = float(optax.global_norm(trainable))
+                lr_now = (
+                    new_lr if self.stateful_lr
+                    else float(self.lr_schedule(global_step))
+                )
                 self.wandb_run.log(
                     {
                         "epoch": epoch,
                         "train_loss": train_loss,
+                        "learning_rate": lr_now,
+                        "param_norm": param_norm,
                         **({"val_loss": val_loss} if val_loss is not None else {}),
                     }
                 )

@@ -54,17 +54,24 @@ class TPUMetrics:
             row += f" lr={lr:.8f}"
         for name, count in compiles.items():
             row += f" compiles[{name}]={count}"
+        self._append(row)
+
+    def log_event(self, message: str) -> None:
+        self._append(f"{time.strftime('%Y-%m-%d %H:%M:%S')} event={message}")
+
+    def _append(self, row: str) -> None:
+        """Append a line; on failure, try remounting the (gcsfuse) output
+        dir once and retry (ref ``common/metrics.py:37-38``)."""
         try:
             with open(self.path, "a") as handle:
                 handle.write(row + "\n")
         except OSError as exc:
-            self.logger.warning("metrics write failed: %s", exc)
+            self.logger.warning("metrics write failed: %s; remounting", exc)
+            try:
+                from certifiedgpt_tpu.utils.gcs import ensure_mounted
 
-    def log_event(self, message: str) -> None:
-        try:
-            with open(self.path, "a") as handle:
-                handle.write(
-                    f"{time.strftime('%Y-%m-%d %H:%M:%S')} event={message}\n"
-                )
-        except OSError as exc:
-            self.logger.warning("metrics write failed: %s", exc)
+                ensure_mounted(os.path.dirname(self.path))
+                with open(self.path, "a") as handle:
+                    handle.write(row + "\n")
+            except OSError as exc2:
+                self.logger.warning("metrics write failed after remount: %s", exc2)

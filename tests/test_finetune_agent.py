@@ -181,3 +181,28 @@ def test_use_cache_staging(tiny_run, tmp_path):
     import glob
     staged = glob.glob("/tmp/*_test_ckpt.npz")
     assert staged, "expected a staged copy under /tmp"
+
+
+def test_evaluate_only_mode(tiny_run):
+    """run.evaluate skips training and reports a val loss only
+    (ref vqav2_finetuning_noise_0.5.yaml:84, Config.evaluate_only)."""
+    config, tmp_path = tiny_run
+    data = config.config._data
+    bi = data["datasets"]["vqav2"]["build_info"]
+    # val-split filenames use the val2014 prefix
+    img_dir = tmp_path / "images"
+    for path in img_dir.glob("COCO_train2014_*.jpg"):
+        target = img_dir / path.name.replace("train2014", "val2014")
+        target.write_bytes(path.read_bytes())
+    bi["questions"]["val"] = bi["questions"]["train"]
+    bi["annotations"]["val"] = bi["annotations"]["train"]
+    data["run"]["has_val_split"] = True
+    data["run"]["evaluate"] = True
+    agent = setup_agent(config)
+    result = agent.run()
+    assert result["evaluate_only"] is True and result["epochs"] == 0
+    assert np.isfinite(result["val_loss"])
+    out = tmp_path / "out"
+    assert not (out / "test_ckpt.npz").exists()  # no training, no ckpt
+    history = json.loads((out / "loss_history.json").read_text())
+    assert len(history["val"]) == 1

@@ -58,3 +58,27 @@ def test_profiler_disabled_noop():
     profiler.maybe_start(0, 0)
     assert not profiler._tracing
     profiler.stop()
+
+
+def test_metrics_remount_retry(tmp_path, monkeypatch):
+    """A failed metrics write remounts the output dir once and retries
+    (ref common/metrics.py:37-38 gcsfuse auto-remount)."""
+    import shutil
+
+    from certifiedgpt_tpu.common.metrics import TPUMetrics
+    from certifiedgpt_tpu.utils import gcs
+
+    out = tmp_path / "bucket" / "run"
+    metrics = TPUMetrics(str(out), "m")
+    shutil.rmtree(tmp_path / "bucket")  # simulate an unmounted bucket
+
+    calls = []
+
+    def fake_mount(path, bucket_name="certifiedgpt_storage"):
+        calls.append(path)
+        os.makedirs(path, exist_ok=True)
+
+    monkeypatch.setattr(gcs, "ensure_mounted", fake_mount)
+    metrics.log_event("after_remount")
+    assert calls, "remount was not attempted"
+    assert "after_remount" in (out / "m.txt").read_text()
