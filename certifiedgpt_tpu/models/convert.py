@@ -170,11 +170,36 @@ def convert_qformer_state_dict(
                     "cross_ln": ln(base + "crossattention.output.LayerNorm"),
                 }
             )
+        # TEXT feed-forward branch (ref Qformer.py:378-485 intermediate/
+        # output) — present unless the checkpoint was pruned the way
+        # MiniGPT-4 prunes it (ref minigpt4.py:104-109)
+        if base + "intermediate.dense.weight" in sd:
+            lp["int_txt"] = lin(base + "intermediate.dense")
+            lp["out_txt"] = lin(base + "output.dense")
+            lp["ffn_ln_txt"] = ln(base + "output.LayerNorm")
         layers[f"layer_{i}"] = lp
 
     params = {"embeddings_ln": emb_ln, "layers": layers}
     if query is not None:
         params["query_tokens"] = query
+    # text embeddings + causal-LM head (ref BertLMHeadModel surface)
+    if "embeddings.word_embeddings.weight" in sd:
+        params["word_embeddings"] = {
+            "embedding": _vec(sd["embeddings.word_embeddings.weight"], dt)
+        }
+        params["position_embeddings"] = {
+            "embedding": _vec(sd["embeddings.position_embeddings.weight"], dt)
+        }
+    if "cls.predictions.transform.dense.weight" in sd:
+        params["cls_transform"] = {
+            "kernel": _kernel(sd["cls.predictions.transform.dense.weight"], dt),
+            "bias": _vec(sd["cls.predictions.transform.dense.bias"], dt),
+        }
+        params["cls_ln"] = {
+            "scale": _vec(sd["cls.predictions.transform.LayerNorm.weight"], dt),
+            "bias": _vec(sd["cls.predictions.transform.LayerNorm.bias"], dt),
+        }
+        params["cls_bias"] = _vec(sd["cls.predictions.bias"], dt)
     return params
 
 

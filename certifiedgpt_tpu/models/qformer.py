@@ -4,9 +4,11 @@ The reference vendors BLIP-2's BERT-with-cross-attention
 (ref ``graphs/models/minigpt4/models/Qformer.py``) and uses it exclusively
 in query mode: 32 learned query tokens self-attend and cross-attend into
 the frozen ViT's image tokens (ref ``minigpt4.py:121-149``); word/position
-embeddings are pruned (ref ``minigpt4.py:104-109``). This module therefore
-implements exactly that live path — a query-only encoder — rather than the
-full BertLMHeadModel surface:
+embeddings are pruned (ref ``minigpt4.py:104-109``). ``qformer_apply``
+implements exactly that live path (query-only encoder); the vendored
+file's text-conditioned surface (ref ``Qformer.py:968-1130``:
+``BertModel`` with text input + ``BertLMHeadModel`` causal head) is
+provided by ``qformer_text_apply`` / ``qformer_lm_logits``:
 
 - query embeds pass through the embeddings LayerNorm (ref Qformer.py:104-106);
 - post-LN BERT blocks: self-attn -> add&norm, cross-attn (on layers where
@@ -46,6 +48,11 @@ class QFormerConfig:
     num_query_tokens: int = 32
     layer_norm_eps: float = 1e-12
     dtype: Any = jnp.bfloat16
+    # text-mode surface (ref Qformer.py:968-1130 BertLMHeadModel): BERT
+    # vocabulary + absolute positions; only materialized by
+    # init_qformer_text / the converter when a checkpoint carries them
+    vocab_size: int = 30522
+    max_position_embeddings: int = 512
 
     @property
     def head_dim(self) -> int:
@@ -69,6 +76,8 @@ class QFormerConfig:
             encoder_width=48,
             num_query_tokens=8,
             dtype=jnp.float32,
+            vocab_size=64,
+            max_position_embeddings=32,
         )
         base.update(overrides)
         return QFormerConfig(**base)
@@ -115,14 +124,15 @@ def init_qformer(key, cfg: QFormerConfig) -> Dict[str, Any]:
     }
 
 
-def _attend(q_params, k_params, v_params, out_params, ln_params, x, kv, cfg):
+def _attend(q_params, k_params, v_params, out_params, ln_params, x, kv, cfg,
+            mask=None):
     """One post-LN attention sub-block: attn -> dense -> LN(res + x)."""
     b, s, _ = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
     q = L.dense(q_params, x).reshape(b, s, h, dh)
     k = L.dense(k_params, kv).reshape(b, kv.shape[1], h, dh)
     v = L.dense(v_params, kv).reshape(b, kv.shape[1], h, dh)
-    attn = multi_head_attention(q, k, v).reshape(b, s, h * dh)
+    attn = multi_head_attention(q, k, v, mask).reshape(b, s, h * dh)
     return L.layer_norm(ln_params, L.dense(out_params, attn) + x, cfg.layer_norm_eps)
 
 
@@ -158,3 +168,134 @@ def qformer_apply(
         x = L.layer_norm(lp["ffn_ln_q"], hidden + x, cfg.layer_norm_eps)
 
     return x
+
+
+# ----------------------------------------------------------------------
+# text-conditioned surface (ref Qformer.py:968-1130)
+# ----------------------------------------------------------------------
+def init_qformer_text(key, cfg: QFormerConfig) -> Dict[str, Any]:
+    """Full param set: query-mode leaves + text embeddings, the per-layer
+    TEXT feed-forward branch (ref ``Qformer.py:378-485`` intermediate/
+    output vs intermediate_query/output_query) and the causal-LM
+    prediction head (ref ``BertOnlyMLMHead``; decoder tied to the word
+    embeddings)."""
+    k_base, k_word, k_pos, k_txt, k_cls = jax.random.split(key, 5)
+    params = init_qformer(k_base, cfg)
+    d = cfg.hidden_size
+    params["word_embeddings"] = L.init_embedding(
+        k_word, cfg.vocab_size, d, dtype=cfg.dtype
+    )
+    params["position_embeddings"] = L.init_embedding(
+        k_pos, cfg.max_position_embeddings, d, dtype=cfg.dtype
+    )
+    txt_keys = jax.random.split(k_txt, cfg.num_layers * 2)
+    for i in range(cfg.num_layers):
+        lp = params["layers"][f"layer_{i}"]
+        lp["int_txt"] = L.init_dense(
+            txt_keys[2 * i], d, cfg.intermediate_size, dtype=cfg.dtype
+        )
+        lp["out_txt"] = L.init_dense(
+            txt_keys[2 * i + 1], cfg.intermediate_size, d, dtype=cfg.dtype
+        )
+        lp["ffn_ln_txt"] = L.init_layer_norm(d, cfg.dtype)
+    params["cls_transform"] = L.init_dense(k_cls, d, d, dtype=cfg.dtype)
+    params["cls_ln"] = L.init_layer_norm(d, cfg.dtype)
+    params["cls_bias"] = jnp.zeros((cfg.vocab_size,), cfg.dtype)
+    return params
+
+
+def qformer_text_apply(
+    params: Dict[str, Any],
+    cfg: QFormerConfig,
+    input_ids: jnp.ndarray,  # [B, T]
+    attention_mask: jnp.ndarray = None,  # [B, T] 1=valid text token
+    image_embeds: jnp.ndarray = None,  # [B, S_img, encoder_width] or None
+    with_query: bool = True,
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Text-conditioned forward.
+
+    ``with_query``: prepend the learned query tokens (multimodal mode —
+    queries cross-attend into ``image_embeds`` on cross layers, text does
+    not, ref HF ``Blip2QFormerLayer``/LAVIS ``query_length`` routing).
+    ``causal=False``: bidirectional (ITM/ITC); ``causal=True``: UniLM-style
+    ITG mask — queries see only queries, text sees all queries + its own
+    causal prefix (ref ``BertLMHeadModel`` generation masking).
+
+    Returns [B, (Q+)T, hidden].
+    """
+    b, t = input_ids.shape
+    text = L.embed(params["word_embeddings"], input_ids)
+    text = text + L.embed(
+        params["position_embeddings"],
+        jnp.broadcast_to(jnp.arange(t), (b, t)).astype(jnp.int32),
+    )
+    nq = cfg.num_query_tokens if with_query else 0
+    if with_query:
+        query = jnp.broadcast_to(
+            params["query_tokens"].astype(text.dtype),
+            (b, nq, cfg.hidden_size),
+        )
+        x = jnp.concatenate([query, text], axis=1)
+    else:
+        x = text
+    x = L.layer_norm(params["embeddings_ln"], x, cfg.layer_norm_eps)
+
+    s = nq + t
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, t), jnp.int32)
+    key_valid = jnp.concatenate(
+        [jnp.ones((b, nq), jnp.int32), attention_mask.astype(jnp.int32)], axis=1
+    )  # [B, S]
+    mask = key_valid[:, None, None, :].astype(bool)  # [B,1,1,S]
+    if causal:
+        pos = jnp.arange(s)
+        is_text_k = pos >= nq
+        # query rows attend to queries only; text rows attend to all
+        # queries and text positions <= their own
+        allowed = jnp.where(
+            (pos < nq)[:, None],  # query row
+            ~is_text_k[None, :],
+            (~is_text_k | (pos[None, :] <= pos[:, None])),
+        )  # [S, S]
+        mask = mask & allowed[None, None]
+
+    kv_img = None if image_embeds is None else image_embeds.astype(x.dtype)
+    for i in range(cfg.num_layers):
+        lp = params["layers"][f"layer_{i}"]
+        x = _attend(
+            lp["self_q"], lp["self_k"], lp["self_v"], lp["self_out"],
+            lp["self_ln"], x, x, cfg, mask=mask,
+        )
+        if with_query:
+            xq, xt = x[:, :nq], x[:, nq:]
+            if cfg.has_cross_attention(i) and kv_img is not None:
+                xq = _attend(
+                    lp["cross_q"], lp["cross_k"], lp["cross_v"],
+                    lp["cross_out"], lp["cross_ln"], xq, kv_img, cfg,
+                )
+            hq = L.dense(lp["out_q"], L.gelu(L.dense(lp["int_q"], xq)))
+            xq = L.layer_norm(lp["ffn_ln_q"], hq + xq, cfg.layer_norm_eps)
+            ht = L.dense(lp["out_txt"], L.gelu(L.dense(lp["int_txt"], xt)))
+            xt = L.layer_norm(lp["ffn_ln_txt"], ht + xt, cfg.layer_norm_eps)
+            x = jnp.concatenate([xq, xt], axis=1)
+        else:
+            ht = L.dense(lp["out_txt"], L.gelu(L.dense(lp["int_txt"], x)))
+            x = L.layer_norm(lp["ffn_ln_txt"], ht + x, cfg.layer_norm_eps)
+    return x
+
+
+def qformer_lm_logits(
+    params: Dict[str, Any], cfg: QFormerConfig, hidden: jnp.ndarray
+) -> jnp.ndarray:
+    """Causal-LM prediction head: transform -> gelu -> LN -> decoder tied
+    to the word embeddings + bias (ref ``BertLMPredictionHead``)."""
+    h = L.gelu(L.dense(params["cls_transform"], hidden))
+    h = L.layer_norm(params["cls_ln"], h, cfg.layer_norm_eps)
+    logits = jnp.einsum(
+        "...d,vd->...v",
+        h,
+        params["word_embeddings"]["embedding"],
+        preferred_element_type=jnp.float32,
+    )
+    return logits + params["cls_bias"].astype(jnp.float32)
