@@ -49,6 +49,10 @@ class SmoothedVQAAgentBase(BaseAgent):
         self.seq_len = int(run.get("seq_len", 64))
         self.max_images = run.get("max_images")
         self.noise_dist = str(run.get("noise_dist", "gaussian"))
+        # stop the decode scan once every MC row has emitted EOS — real
+        # answers are 1-4 tokens, so serving skips most of the decode
+        # budget (models/minigpt4.py generate early_exit)
+        self.early_exit = bool(run.get("early_exit", False))
         self.seed = int(run.get("seed", 42))
 
         finetuned = self.load_finetuned({"llama_proj": self.model.params["llama_proj"]})
@@ -138,6 +142,7 @@ class SmoothedVQAAgentBase(BaseAgent):
                 seq_len=self.seq_len,
                 mesh=self.mesh,
                 noise_dist=self.noise_dist,
+                early_exit=self.early_exit,
             )
         sample_fn = make_sample_fn(
             self.model,

@@ -128,12 +128,18 @@ class EvalAgent(BaseAgent):
                 "not applied by beam search"
             )
 
+        early_exit = bool(run.get("early_exit", False))
+
+        # the noise draw is a separate compiled program from the decode
+        # graph — fusing the threefry RNG into the full-scale cached
+        # generate crashes this image's TPU backend (see
+        # smoothing/classifier.py for the verified bisect)
         @jax.jit
-        def gen(params, batch, rng):
-            batch = dict(batch)
-            batch["image"] = add_input_noise(
-                rng, batch["image"], noise_level, noise_dist
-            )
+        def noise_fn(image, rng):
+            return add_input_noise(rng, image, noise_level, noise_dist)
+
+        @jax.jit
+        def decode_fn(params, batch, rng):
             if num_beams > 1:
                 from certifiedgpt_tpu.models.minigpt4 import generate_beam
 
@@ -149,8 +155,16 @@ class EvalAgent(BaseAgent):
                     do_sample=do_sample, temperature=temperature,
                     top_p=top_p, min_length=min_length,
                     repetition_penalty=repetition_penalty, rng=rng,
+                    early_exit=early_exit,
                 )
-            return generate_greedy(params, cfg, batch, max_new, eos, pad)
+            return generate_greedy(
+                params, cfg, batch, max_new, eos, pad, early_exit=early_exit
+            )
+
+        def gen(params, batch, rng):
+            batch = dict(batch)
+            batch["image"] = noise_fn(batch["image"], rng)
+            return decode_fn(params, batch, rng)
 
         return gen
 

@@ -248,6 +248,7 @@ def generate(
     min_length: int = 1,
     repetition_penalty: float = 1.0,
     rng: Optional[jnp.ndarray] = None,
+    early_exit: bool = False,
 ) -> jnp.ndarray:
     """Batched decode with a KV cache (greedy default; nucleus sampling,
     repetition penalty and min-length per the knobs the reference's
@@ -351,12 +352,37 @@ def generate(
 
     positions0 = prompt_len  # next rotary position per sample
     done0 = jnp.zeros((b,), jnp.bool_)
-    _, tokens = lax.scan(
-        step,
-        (cache, first, positions0, done0, counts0),
-        jnp.arange(max_new_tokens),
-    )
-    return tokens.T  # [B, max_new_tokens]
+    if not early_exit:
+        _, tokens = lax.scan(
+            step,
+            (cache, first, positions0, done0, counts0),
+            jnp.arange(max_new_tokens),
+        )
+        return tokens.T  # [B, max_new_tokens]
+
+    # early_exit: identical math under lax.while_loop — stop decoding the
+    # moment every row has emitted its EOS. Real VQA answers are 1-4
+    # tokens, so a serving run skips most of the max_new_tokens budget;
+    # outputs are bit-identical to the scan path (post-EOS slots are pad
+    # either way; pinned by test).
+    out0 = jnp.full((b, max_new_tokens), jnp.int32(pad_token_id))
+
+    def cond(state):
+        t, _, _, _, done, _, _ = state
+        return (t < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        t, cache, token, positions, done, counts, out = state
+        (cache, new_token, positions, done, counts), out_token = step(
+            (cache, token, positions, done, counts), t
+        )
+        out = lax.dynamic_update_slice(
+            out, out_token[:, None], (jnp.int32(0), t)
+        )
+        return t + 1, cache, new_token, positions, done, counts, out
+
+    state = (jnp.int32(0), cache, first, positions0, done0, counts0, out0)
+    return lax.while_loop(cond, body, state)[-1]
 
 
 def generate_greedy(
@@ -366,11 +392,13 @@ def generate_greedy(
     max_new_tokens: int,
     eos_token_id: int,
     pad_token_id: int = 0,
+    early_exit: bool = False,
 ) -> jnp.ndarray:
     """Greedy decode (the certification/eval hot path)."""
     return generate(
         params, cfg, batch, max_new_tokens, eos_token_id, pad_token_id,
         do_sample=False, repetition_penalty=1.0, min_length=1,
+        early_exit=early_exit,
     )
 
 

@@ -89,6 +89,7 @@ def make_noisy_generate_fn(
     seq_len: int = 64,
     mesh=None,
     noise_dist: str = "gaussian",
+    early_exit: bool = False,
 ):
     """Build the compiled noisy-forward for a model.
 
@@ -159,7 +160,10 @@ def make_noisy_generate_fn(
                 k: jax.lax.with_sharding_constraint(v, mc_sharding(v.ndim))
                 for k, v in batch.items()
             }
-        return generate_greedy(params, cfg, batch, max_new_tokens, eos, pad)
+        return generate_greedy(
+            params, cfg, batch, max_new_tokens, eos, pad,
+            early_exit=early_exit,
+        )
 
     def fn(params, image, input_ids, attention_mask, img_pos, key):
         images = noise_fn(image, key)
@@ -190,6 +194,7 @@ def make_sample_fn(
     seq_len: int = 64,
     mesh=None,
     noise_dist: str = "gaussian",
+    early_exit: bool = False,
     gen=None,
 ) -> Callable[[np.ndarray, int, int], np.ndarray]:
     """Bind (model, question prompt, vocab, sigma) into the
@@ -212,6 +217,7 @@ def make_sample_fn(
             seq_len=seq_len,
             mesh=mesh,
             noise_dist=noise_dist,
+            early_exit=early_exit,
         )
     tokenizer = model.tokenizer
 

@@ -220,3 +220,53 @@ def test_beam_search_runs_and_scores(model):
         num_beams=3, length_penalty=1.0,
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_early_exit_matches_scan_decode():
+    """early_exit (lax.while_loop all-EOS stop) is bit-identical to the
+    scan path, including post-EOS pad filling."""
+    import jax
+
+    from certifiedgpt_tpu.data.text import BatchSpec, ByteTokenizer, build_gen_batch
+    from certifiedgpt_tpu.models.minigpt4 import (
+        MiniGPT4Config,
+        generate_greedy,
+        init_minigpt4,
+    )
+
+    cfg = MiniGPT4Config.tiny()
+    params = init_minigpt4(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    spec = BatchSpec(seq_len=32, num_img_tokens=cfg.num_img_tokens)
+    text = build_gen_batch(
+        tok, ["<Img><ImageHere></Img> a?", "<Img><ImageHere></Img> bb?"], spec
+    )
+    rng = np.random.RandomState(0)
+    batch = {k: jnp.asarray(v) for k, v in text.items()}
+    batch["image"] = jnp.asarray(
+        rng.randn(2, cfg.vit.img_size, cfg.vit.img_size, 3).astype(np.float32)
+    )
+
+    base = np.asarray(
+        generate_greedy(params, cfg, batch, 8, tok.eos_token_id, tok.pad_token_id)
+    )
+    fast = np.asarray(
+        generate_greedy(
+            params, cfg, batch, 8, tok.eos_token_id, tok.pad_token_id,
+            early_exit=True,
+        )
+    )
+    np.testing.assert_array_equal(base, fast)
+
+    # force an early EOS (treat the first greedy token as EOS) so the
+    # while_loop actually exits before max_new_tokens, and still matches
+    fake_eos = int(base[0, 0])
+    base2 = np.asarray(
+        generate_greedy(params, cfg, batch, 8, fake_eos, tok.pad_token_id)
+    )
+    fast2 = np.asarray(
+        generate_greedy(
+            params, cfg, batch, 8, fake_eos, tok.pad_token_id, early_exit=True
+        )
+    )
+    np.testing.assert_array_equal(base2, fast2)
