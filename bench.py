@@ -194,7 +194,11 @@ def main(argv=None):
         metric = "certify_1_image_n1000_sigma0.5_smallmodel_seconds"
         target_chip_seconds = 10.0
     else:
-        cfg = MiniGPT4Config()  # full reference scale
+        # full reference scale; the vision tower uses the builtin flash
+        # kernel (full-sequence blocks — see ops/flash_attention)
+        from certifiedgpt_tpu.models.eva_vit import EvaViTConfig
+
+        cfg = MiniGPT4Config(vit=EvaViTConfig(attn_impl="flash"))
         params = build_full_int8_params(cfg)
         mc_batch = args.mc_batch or 50
         metric = "certify_1_image_n1000_sigma0.5_fullscale_int8_seconds"

@@ -48,8 +48,10 @@ class EvaViTConfig:
     # rematerialize each block on backward: trades ~depth x activation
     # memory for recompute (jax.checkpoint; SURVEY.md hbm guidance)
     remat: bool = False
-    # attention implementation: "xla" (default; XLA's fused lowering) or
-    # "flash" (the Pallas online-softmax kernel in ops/flash_attention)
+    # attention implementation: "xla" (default; XLA's fused lowering),
+    # "flash" (jax's builtin TPU flash kernel, full-sequence blocks —
+    # 2.2x over XLA at ViT-g scale; XLA fallback off-TPU), or
+    # "flash_custom" (the hand-written kernel in ops/flash_attention)
     attn_impl: str = "xla"
 
     @property
@@ -145,6 +147,16 @@ def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.nda
     k = k.reshape(b, s, h, dh)
     v = v.reshape(b, s, h, dh)
     if cfg.attn_impl == "flash":
+        # jax's built-in TPU flash kernel with full-sequence blocks —
+        # measured 2.2x over the XLA path at ViT-g/448 certify batches
+        # (ops/flash_attention.builtin_flash_attention; XLA fallback
+        # off-TPU)
+        from certifiedgpt_tpu.ops.flash_attention import (
+            builtin_flash_attention,
+        )
+
+        attn = builtin_flash_attention(q, k, v)
+    elif cfg.attn_impl == "flash_custom":
         from certifiedgpt_tpu.ops.flash_attention import flash_attention
 
         attn = flash_attention(q, k, v)

@@ -197,3 +197,59 @@ def flash_attention(
     )
     out = out[:, :s, :d].reshape(b, h, s, d)
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def builtin_flash_attention(
+    q: jnp.ndarray,  # [B, S, H, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Non-causal self-attention via jax's built-in Pallas TPU flash
+    kernel with FULL-sequence blocks.
+
+    At EVA ViT-g shapes (B=50, H=16, S=1025->1152, D=88->128) the
+    full-block configuration measures 9.8 ms vs 21.9 ms for the XLA
+    einsum+softmax path and 50 ms for the kernel's default 128-tiles —
+    one grid cell per (batch, head) keeps the whole softmax in VMEM with
+    no inter-tile recurrence overhead. Sequence padding is masked with
+    segment ids; head-dim zero-padding adds nothing to q.k or the output.
+    Falls back to the fused-XLA path off-TPU.
+    """
+    if jax.default_backend() != "tpu":
+        from certifiedgpt_tpu.ops.attention import multi_head_attention
+
+        return multi_head_attention(q, k, v, scale=scale)
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention as _kernel,
+    )
+
+    b, s, h, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+    d_pad = int(np.ceil(d / _LANES) * _LANES)
+    s_pad = int(np.ceil(s / _LANES) * _LANES)
+
+    def prep(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, S, D]
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, d_pad - d)))
+
+    seg = jnp.broadcast_to(
+        jnp.where(jnp.arange(s_pad) < s, 0, 1).astype(jnp.int32), (b, s_pad)
+    )
+    blocks = BlockSizes(
+        block_q=s_pad, block_k_major=s_pad, block_k=s_pad, block_b=1,
+        block_q_major_dkv=s_pad, block_k_major_dkv=s_pad,
+        block_k_dkv=s_pad, block_q_dkv=s_pad,
+        block_k_major_dq=s_pad, block_k_dq=s_pad, block_q_dq=s_pad,
+    )
+    out = _kernel(
+        prep(q), prep(k), prep(v),
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        sm_scale=float(scale),
+        block_sizes=blocks,
+    )
+    return jnp.transpose(out[:, :, :s, :d], (0, 2, 1, 3))

@@ -54,3 +54,40 @@ def test_vit_flash_config_runs():
     imgs = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.img_size, cfg.img_size, 3))
     out = eva_vit_apply(params, cfg, imgs)
     assert out.shape == (2, cfg.seq_len, cfg.embed_dim)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="builtin flash kernel is TPU-only"
+)
+def test_builtin_flash_matches_xla_on_tpu():
+    from certifiedgpt_tpu.ops.attention import multi_head_attention
+    from certifiedgpt_tpu.ops.flash_attention import builtin_flash_attention
+
+    b, s, h, d = 4, 1025, 16, 88
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, s, h, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, s, h, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, s, h, d), jnp.bfloat16)
+    ref = multi_head_attention(q, k, v)
+    out = builtin_flash_attention(q, k, v)
+    diff = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    assert diff < 5e-3, diff
+
+
+def test_builtin_flash_cpu_fallback_matches_xla():
+    """Off-TPU the wrapper must route to the XLA path exactly."""
+    from certifiedgpt_tpu.ops.attention import multi_head_attention
+    from certifiedgpt_tpu.ops.flash_attention import builtin_flash_attention
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("covered by the TPU parity test")
+    b, s, h, d = 2, 33, 4, 8
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (b, s, h, d))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, s, h, d))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, s, h, d))
+    np.testing.assert_allclose(
+        np.asarray(builtin_flash_attention(q, k, v)),
+        np.asarray(multi_head_attention(q, k, v)),
+        atol=1e-6,
+    )
