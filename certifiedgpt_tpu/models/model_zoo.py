@@ -158,7 +158,12 @@ class MiniGPT4Model:
             image_size = int(model_cfg.get("image_size", 448))
             num_query = int(model_cfg.get("num_query_token", 32))
             cfg = MiniGPT4Config(
-                vit=EvaViTConfig(img_size=image_size),
+                vit=EvaViTConfig(
+                    img_size=image_size,
+                    # "flash" = jax's TPU flash kernel with full-sequence
+                    # blocks (2.2x over XLA at 448px; XLA fallback off-TPU)
+                    attn_impl=str(model_cfg.get("vit_attn_impl", "xla")),
+                ),
                 qformer=QFormerConfig(num_query_tokens=num_query),
                 llama=LlamaConfig(),
                 max_txt_len=int(model_cfg.get("max_txt_len", 160)),
