@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Full-scale TRAIN-step benchmark (single chip).
+
+Measures the reference-scale finetune step — EVA ViT-g/448 (flash
+attention) + Q-Former-12 + int8 Vicuna-7B-architecture decoder (remat),
+trainable llama_proj only, Gaussian input noise, optax AdamW — at the
+reference's per-core batch size semantics. Grads flow through the frozen
+decoder's activations into the projection, so the step costs ~ViT fwd +
+decoder fwd + decoder activation-backward; ViT/Q-Former backward is dead
+code XLA prunes (ref trains the same way: only llama_proj requires grad,
+``minigpt4.py:76-78``).
+
+Prints one JSON line: {"metric", "value" (ms/step), "unit",
+"samples_per_sec", "mfu"} — supplementary to bench.py (not the driver
+headline).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bench import build_full_int8_params, chip_peak_tflops
+    from certifiedgpt_tpu.data.text import BatchSpec, ByteTokenizer, build_train_batch
+    from certifiedgpt_tpu.models.eva_vit import EvaViTConfig
+    from certifiedgpt_tpu.models.llama import LlamaConfig
+    from certifiedgpt_tpu.models.minigpt4 import (
+        MiniGPT4Config,
+        merge_params,
+        minigpt4_loss,
+        split_params,
+    )
+    from certifiedgpt_tpu.optim import make_optimizer
+
+    seq = 160  # ref max_txt_len budget
+    cfg = MiniGPT4Config(
+        vit=EvaViTConfig(attn_impl="flash"),
+        llama=LlamaConfig(remat=True),
+    )
+    params = build_full_int8_params(cfg)
+    print("params built", file=sys.stderr, flush=True)
+
+    tok = ByteTokenizer()
+    spec = BatchSpec(seq_len=seq, num_img_tokens=32, max_answer_len=24)
+    text = build_train_batch(
+        tok,
+        [f"<Img><ImageHere></Img> [vqa] what is object {i}?" for i in range(batch)],
+        ["cat" if i % 2 == 0 else "dog" for i in range(batch)],
+        spec,
+    )
+    rng = np.random.RandomState(0)
+    images = rng.randn(batch, 448, 448, 3).astype(np.float32)
+    dev = {k: jnp.asarray(v) for k, v in text.items()}
+
+    trainable, frozen = split_params(params)
+    optimizer = make_optimizer(lambda step: 1e-5)
+    opt_state = optimizer.init(trainable)
+
+    # noise in its own program (in-graph RNG + big graphs crash this
+    # image's backend — see smoothing/classifier.py)
+    @jax.jit
+    def noise_fn(image, key):
+        return image + 0.5 * jax.random.normal(key, image.shape, image.dtype)
+
+    @jax.jit
+    def train_step(trainable, opt_state, frozen, batch_dev):
+        def loss_fn(tr):
+            return minigpt4_loss(merge_params(tr, frozen), cfg, batch_dev)
+
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    image_dev = jnp.asarray(images)
+    key = jax.random.PRNGKey(0)
+
+    def step(i):
+        b = dict(dev)
+        b["image"] = noise_fn(image_dev, jax.random.fold_in(key, i))
+        return train_step(trainable, opt_state, frozen, b)
+
+    t0 = time.time()
+    tr2, opt2, loss = step(0)
+    print(
+        f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.3f}",
+        file=sys.stderr, flush=True,
+    )
+    reps = 5
+    t0 = time.time()
+    for i in range(1, reps + 1):
+        trainable_, opt_, loss = step(i)
+    float(loss)
+    dt = (time.time() - t0) / reps
+
+    # analytic step FLOPs: ViT fwd + decoder fwd + decoder activation bwd
+    v = cfg.vit
+    vit_f = v.depth * (
+        8 * v.seq_len * v.embed_dim**2
+        + 4 * v.seq_len**2 * v.embed_dim
+        + 4 * v.seq_len * v.embed_dim * v.mlp_hidden
+    )
+    lc = cfg.llama
+    per_tok = (
+        4 * lc.hidden_size**2
+        + 4 * lc.hidden_size * lc.num_kv_heads * lc.head_dim
+        + 6 * lc.hidden_size * lc.intermediate_size
+    )
+    dec_f = lc.num_layers * (seq * per_tok + 4 * seq**2 * lc.hidden_size)
+    dec_f += 2 * seq * lc.hidden_size * lc.vocab_size  # full-seq lm_head
+    step_tflop = batch * (vit_f + 2 * dec_f) / 1e12  # bwd ~= fwd for dx
+    peak = chip_peak_tflops(jax.devices()[0])
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_fullscale_ms",
+                "value": round(dt * 1e3, 1),
+                "unit": "ms",
+                "batch": batch,
+                "samples_per_sec": round(batch / dt, 2),
+                "mfu": round(step_tflop / dt / peak, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
