@@ -44,8 +44,14 @@ def main():
         make_sample_fn,
     )
 
-    cfg = MiniGPT4Config()
+    import dataclasses
+
+    from certifiedgpt_tpu.models.eva_vit import EvaViTConfig
+
+    attn = sys.argv[2] if len(sys.argv) > 2 else "flash"
+    cfg = MiniGPT4Config(vit=EvaViTConfig(attn_impl=attn))
     params = build_full_int8_params(cfg)
+    print(f"vit attn_impl={attn}", flush=True)
     print("params built", flush=True)
 
     seq_len, new_tokens = 96, 10
