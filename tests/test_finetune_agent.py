@@ -206,3 +206,35 @@ def test_evaluate_only_mode(tiny_run):
     assert not (out / "test_ckpt.npz").exists()  # no training, no ckpt
     history = json.loads((out / "loss_history.json").read_text())
     assert len(history["val"]) == 1
+
+
+def test_gradient_accumulation_equals_big_batch():
+    """k accumulation micro-steps == one step on the mean gradient
+    (ref run.accumulated_gradients via optax.MultiSteps)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from certifiedgpt_tpu.optim import make_optimizer
+
+    params = {"w": jnp.arange(4.0), "b": jnp.ones(2)}
+    g1 = {"w": jnp.array([1.0, -2.0, 0.5, 3.0]), "b": jnp.array([0.1, -0.4])}
+    g2 = {"w": jnp.array([-1.0, 4.0, 2.5, -1.0]), "b": jnp.array([0.3, 0.2])}
+    mean = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+
+    acc = make_optimizer(lambda s: 1e-2, accumulate_steps=2)
+    state = acc.init(params)
+    p = params
+    for g in (g1, g2):
+        updates, state = acc.update(g, state, p)
+        p = optax.apply_updates(p, updates)
+
+    ref_opt = make_optimizer(lambda s: 1e-2, accumulate_steps=1)
+    ref_state = ref_opt.init(params)
+    ref_updates, _ = ref_opt.update(mean, ref_state, params)
+    ref_p = optax.apply_updates(params, ref_updates)
+
+    for key in params:
+        np.testing.assert_allclose(
+            np.asarray(p[key]), np.asarray(ref_p[key]), atol=1e-6
+        )
