@@ -5,12 +5,15 @@ Functional re-design of the decoder the reference drives through HF
 wraps it to add label-smoothed CE and per-sample reduction; ref
 ``base_model.py:181-247`` loads Vicuna-7B frozen). Differences by design:
 
-- **Scan over stacked layers**: per-layer params are stacked on a leading
-  axis and the block runs under ``lax.scan`` — one traced block instead of
-  32 unrolled ones, keeping XLA compile time flat in depth.
-- **Explicit KV cache** as a pytree carried through the scan, updated with
+- **Scan over stacked layers** in the no-cache (training) path: per-layer
+  params are stacked on a leading axis and the block runs under
+  ``lax.scan`` — one traced block instead of 32 unrolled ones, keeping
+  XLA compile time flat in depth.
+- **Explicit per-layer KV cache** (see ``init_kv_cache``) in the cached
+  path, where layers unroll over independent buffers updated with
   ``lax.dynamic_update_slice`` at a static-shape offset — the fixed-shape
-  TPU replacement for HF's dynamic ``past_key_values``.
+  TPU replacement for HF's dynamic ``past_key_values``, laid out so the
+  decode scan's carry aliasing updates each buffer in place.
 - **inputs_embeds-first API**: the multimodal path always feeds embeddings
   (image prefix + text), ids are embedded by the caller via
   ``embed_tokens``.
