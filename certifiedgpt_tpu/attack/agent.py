@@ -10,7 +10,7 @@ score attack success by CLIP-text similarity movement toward the
 target. Reports per-backbone success rates across noise levels plus the
 ANCOVA table (ref ``README.md:108-120,160``).
 
-Run-block knobs: ``attack_backbones`` (subset of rn50/rn101/vit_b16/
+Run-block knobs: ``attack_backbones`` (subset of rn50/rn101/blip2_vit/vit_b16/
 vit_b32/vit_l14; tiny variants for tests), ``attack_epsilon``,
 ``attack_steps``, ``attack_step_size``, ``rgf_queries``, ``rgf_iters``,
 ``max_images``, ``noise_level`` (victim-side smoothing sigma),
@@ -89,6 +89,41 @@ def _rn50():
 @_register_backbone("rn101")
 def _rn101():
     return ClipResNetConfig.rn101(), clip_resnet_image, init_clip_resnet
+
+
+@_register_backbone("blip2_vit")
+def _blip2_vit():
+    """BLIP-family surrogate (the attack description's 'CLIP/BLIP
+    ensemble', SURVEY.md §2.9): BLIP-2's vision tower IS EVA ViT-g —
+    reuse the framework's encoder; the feature is the cls token."""
+    from certifiedgpt_tpu.models.eva_vit import (
+        EvaViTConfig,
+        eva_vit_apply,
+        init_eva_vit,
+    )
+
+    cfg = EvaViTConfig(img_size=224, dtype=jnp.float32)
+
+    def feature(params, vcfg, images):
+        return eva_vit_apply(params, vcfg, images)[:, 0]  # cls token
+
+    return cfg, feature, init_eva_vit
+
+
+@_register_backbone("blip2_vit_tiny")
+def _blip2_vit_tiny():
+    from certifiedgpt_tpu.models.eva_vit import (
+        EvaViTConfig,
+        eva_vit_apply,
+        init_eva_vit,
+    )
+
+    cfg = EvaViTConfig.tiny()
+
+    def feature(params, vcfg, images):
+        return eva_vit_apply(params, vcfg, images)[:, 0]
+
+    return cfg, feature, init_eva_vit
 
 
 @_register_backbone("vit_tiny")
@@ -184,6 +219,30 @@ class AttackAgent(BaseAgent):
                         "CLIP load failed for %s (%s); random init", name, exc
                     )
 
+            if name.startswith("blip2"):
+                # BLIP surrogate weights: the reference's eva_vit_g.pth
+                # (pos embed interpolates to the surrogate resolution)
+                vit_path = self.config.model.get("eva_vit_g_pth")
+                if vit_path and os.path.exists(str(vit_path)):
+                    try:
+                        import torch
+
+                        from certifiedgpt_tpu.models.convert import (
+                            convert_eva_vit_state_dict,
+                        )
+
+                        params = convert_eva_vit_state_dict(
+                            torch.load(str(vit_path), map_location="cpu"), cfg
+                        )
+                        self.logger.info(
+                            "Loaded %s weights from %s", name, vit_path
+                        )
+                    except Exception as exc:
+                        self.logger.warning(
+                            "EVA load failed for %s (%s); random init",
+                            name, exc,
+                        )
+
             def make_apply(fn, c):
                 return lambda p, imgs: fn(p, c, imgs)
 
@@ -192,7 +251,8 @@ class AttackAgent(BaseAgent):
                     name=name,
                     apply_fn=make_apply(apply_fn, cfg),
                     params=params,
-                    image_size=cfg.image_size,
+                    image_size=getattr(cfg, "image_size", None)
+                    or getattr(cfg, "img_size"),
                 )
             )
         return encoders

@@ -52,7 +52,7 @@ def attack_setup(tmp_path):
             },
             "run": {
                 "agent": "image_text_attack",
-                "attack_backbones": ["vit_tiny", "rn_tiny"],
+                "attack_backbones": ["vit_tiny", "rn_tiny", "blip2_vit_tiny"],
                 "attack_steps": 3,
                 "attack_epsilon": 0.03,
                 "rgf_queries": 0,
@@ -71,8 +71,10 @@ def test_attack_agent_end_to_end(attack_setup):
     config, tmp_path = attack_setup
     agent = setup_agent(config)
     summary = agent.run()
-    assert summary["total"] == 4  # 2 images x 2 backbones
-    assert set(summary["success_rate_per_backbone"]) == {"vit_tiny", "rn_tiny"}
+    assert summary["total"] == 6  # 2 images x 3 backbones
+    assert set(summary["success_rate_per_backbone"]) == {
+        "vit_tiny", "rn_tiny", "blip2_vit_tiny",
+    }
     assert "ancova" in summary
     out = tmp_path / "out_attack"
     assert (out / "attack_results.jsonl").exists()
