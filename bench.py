@@ -109,15 +109,14 @@ def build_full_int8_params(cfg):
 
     lc = cfg.llama
 
+    from certifiedgpt_tpu.ops.quantization import quantize_stacked_kernel
+
     @functools.partial(jax.jit, static_argnums=(1, 2))
     def init_q_module(key, in_dim, out_dim):
         w = 0.02 * jax.random.normal(
             key, (lc.num_layers, in_dim, out_dim), jnp.float32
         )
-        absmax = jnp.max(jnp.abs(w), axis=1)
-        scale = jnp.maximum(absmax, 1e-8) / 127.0
-        q = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127).astype(jnp.int8)
-        return {"kernel_q": q, "scale": scale}
+        return quantize_stacked_kernel(w)
 
     key = jax.random.PRNGKey(0)
     d, dh = lc.hidden_size, lc.head_dim

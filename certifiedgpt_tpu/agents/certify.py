@@ -55,6 +55,15 @@ class SmoothedVQAAgentBase(BaseAgent):
         self.early_exit = bool(run.get("early_exit", False))
         self.seed = int(run.get("seed", 42))
 
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            raise NotImplementedError(
+                "certify/predict are single-controller per host "
+                "(DESIGN.md §1); the MC axis shards within a slice — run "
+                "on one process"
+            )
+
         finetuned = self.load_finetuned({"llama_proj": self.model.params["llama_proj"]})
         if finetuned is not None:
             self.model.params["llama_proj"] = finetuned["llama_proj"]

@@ -170,17 +170,31 @@ class EvalAgent(BaseAgent):
 
     # ------------------------------------------------------------------
     def create_loader(self) -> Loader:
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            raise NotImplementedError(
+                "eval/certify are single-controller per host (DESIGN.md §1); "
+                "run them on one process — multi-process SPMD is the train "
+                "path's mode"
+            )
         for name in self.config.datasets.keys():
             builder_cls = registry.get_builder_class(name)
             datasets = builder_cls().build_datasets()
             for split in ("val", "test"):
                 if split in datasets:
+                    # eval is single-controller per host (DESIGN.md §1):
+                    # the whole dataset is scored on one process, so pin
+                    # process_count=1 — multi-process would otherwise
+                    # split batches and break the global padding below
                     return Loader(
                         datasets[split],
                         batch_size=self.batch_size,
                         shuffle=False,
                         drop_last=False,
                         num_workers=int(self.run_cfg.get("num_workers", 4)),
+                        process_index=0,
+                        process_count=1,
                     )
         raise RuntimeError("No val/test split configured for eval")
 

@@ -65,31 +65,35 @@ def save_checkpoint(
     ahead to resume from a half-written file (ref ``xm.rendezvous``
     semantics). Assumes a shared filesystem (gcsfuse/NFS), as the
     reference does."""
-    if jax.process_index() == 0:
-        flat = _flatten(trainable, "model:")
-        if opt_state is not None:
-            flat.update(_flatten(opt_state, "opt:"))
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(
-            dir=os.path.dirname(os.path.abspath(path)), suffix=".tmp"
-        )
-        try:
-            with os.fdopen(fd, "wb") as handle:
-                np.savez(handle, **flat)
-            os.replace(tmp, path)
-        except BaseException:
-            if os.path.exists(tmp):
-                os.remove(tmp)
-            raise
-        meta_path = path + ".meta.json"
-        with open(meta_path, "w") as handle:
-            json.dump(metadata or {}, handle)
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
+    try:
+        if jax.process_index() == 0:
+            flat = _flatten(trainable, "model:")
+            if opt_state is not None:
+                flat.update(_flatten(opt_state, "opt:"))
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(os.path.abspath(path)), suffix=".tmp"
+            )
+            try:
+                with os.fdopen(fd, "wb") as handle:
+                    np.savez(handle, **flat)
+                os.replace(tmp, path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+                raise
+            meta_path = path + ".meta.json"
+            with open(meta_path, "w") as handle:
+                json.dump(metadata or {}, handle)
+    finally:
+        # the barrier must run even when rank 0's write fails — otherwise
+        # every other rank hangs in the collective while rank 0 unwinds
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
 
-        multihost_utils.sync_global_devices(
-            "checkpoint_saved:" + os.path.basename(path)
-        )
+            multihost_utils.sync_global_devices(
+                "checkpoint_saved:" + os.path.basename(path)
+            )
 
 
 def load_checkpoint(

@@ -81,9 +81,18 @@ class Loader:
         return np.arange(n)
 
     def _local_slice(self, idx: np.ndarray) -> np.ndarray:
-        """This process's rows of a global batch (contiguous split)."""
+        """This process's rows of a global batch (contiguous split).
+
+        A partial final batch (drop_last=False) pads by wrapping to the
+        next process_count multiple — the DistributedSampler convention
+        (ref ``minigpt4_finetune_agent.py:315-320``) — so every process
+        gets the same non-empty local count and no sample is dropped."""
         if self.process_count <= 1:
             return idx
+        if len(idx) % self.process_count != 0:
+            target = -(-len(idx) // self.process_count) * self.process_count
+            reps = -(-target // len(idx))
+            idx = np.tile(idx, reps)[:target]
         per = len(idx) // self.process_count
         return idx[self.process_index * per : (self.process_index + 1) * per]
 

@@ -36,6 +36,18 @@ def dequantize_kernel(qleaf: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.
     ).astype(dtype)
 
 
+def quantize_stacked_kernel(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[L, in, out] stacked float kernels -> per-(layer, out-channel)
+    symmetric int8 — the stacked-layer form of ``quantize_kernel`` and
+    the single source of the scheme for both the product path and the
+    full-scale bench's direct-at-serving-layout init."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=1)  # [L, out]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / scale[:, None, :]), -127, 127).astype(jnp.int8)
+    return {"kernel_q": q, "scale": scale}
+
+
 def quantize_llama(params: Dict[str, Any]) -> Dict[str, Any]:
     """Quantize every stacked layer kernel of an ``init_llama`` pytree.
 
@@ -46,14 +58,7 @@ def quantize_llama(params: Dict[str, Any]) -> Dict[str, Any]:
     layers = {}
     for mod, leaves in params["layers"].items():
         if "kernel" in leaves:
-            w = leaves["kernel"]  # [L, in, out]
-            w32 = w.astype(jnp.float32)
-            absmax = jnp.max(jnp.abs(w32), axis=1)  # [L, out]
-            scale = jnp.maximum(absmax, 1e-8) / 127.0
-            q = jnp.clip(
-                jnp.round(w32 / scale[:, None, :]), -127, 127
-            ).astype(jnp.int8)
-            layers[mod] = {"kernel_q": q, "scale": scale}
+            layers[mod] = quantize_stacked_kernel(leaves["kernel"])
         else:
             layers[mod] = leaves
     out["layers"] = layers

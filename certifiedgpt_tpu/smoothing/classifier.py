@@ -165,8 +165,9 @@ def make_noisy_generate_fn(
             early_exit=early_exit,
         )
 
-    def fn(params, image, input_ids, attention_mask, img_pos, key):
-        images = noise_fn(image, key)
+    def tile_prompt(input_ids, attention_mask, img_pos):
+        """Tile a [1, S] prompt to the MC batch once per question —
+        callers cache the result instead of re-broadcasting per chunk."""
         tiled = []
         for value in (input_ids, attention_mask):
             arr = jnp.broadcast_to(value, (mc_batch,) + value.shape[1:])
@@ -176,11 +177,20 @@ def make_noisy_generate_fn(
         pos = jnp.broadcast_to(img_pos, (mc_batch,))
         if mc_sharding is not None:
             pos = jax.device_put(pos, mc_sharding(1))
-        return gen_fn(params, images, tiled[0], tiled[1], pos)
+        return tiled[0], tiled[1], pos
+
+    def fn(params, image, input_ids, attention_mask, img_pos, key):
+        images = noise_fn(image, key)
+        if input_ids.shape[0] != mc_batch:  # untiled [1, S] prompt
+            input_ids, attention_mask, img_pos = tile_prompt(
+                input_ids, attention_mask, img_pos
+            )
+        return gen_fn(params, images, input_ids, attention_mask, img_pos)
 
     # expose the generate graph's compile-cache size for the
     # one-compile-per-sigma regression check (common/metrics.py)
     fn._cache_size = gen_fn._cache_size
+    fn.tile_prompt = tile_prompt
     return fn
 
 
@@ -221,6 +231,17 @@ def make_sample_fn(
         )
     tokenizer = model.tokenizer
 
+    # tile the prompt to the MC batch ONCE at bind time (22+ chunks per
+    # image would otherwise re-broadcast the same constant arrays)
+    if hasattr(gen, "tile_prompt"):
+        p_ids, p_am, p_pos = gen.tile_prompt(
+            prompt["input_ids"], prompt["attention_mask"], prompt["img_pos"]
+        )
+    else:
+        p_ids, p_am, p_pos = (
+            prompt["input_ids"], prompt["attention_mask"], prompt["img_pos"]
+        )
+
     def sample_fn(x: np.ndarray, num: int, seed: int) -> np.ndarray:
         image = jnp.asarray(x, jnp.float32)
         labels = np.empty((num,), np.int64)
@@ -234,9 +255,9 @@ def make_sample_fn(
             gen(
                 model.params,
                 image,
-                prompt["input_ids"],
-                prompt["attention_mask"],
-                prompt["img_pos"],
+                p_ids,
+                p_am,
+                p_pos,
                 jax.random.fold_in(base_key, chunk),
             )
             for chunk in range(n_chunks)

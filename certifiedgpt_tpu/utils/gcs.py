@@ -30,7 +30,14 @@ def mount_gcsfuse(
         return False
 
 
-def ensure_mounted(path: str, bucket_name: str = "certifiedgpt_storage") -> None:
-    """Remount when an expected output path is missing (ref metrics.py:37-38)."""
+def ensure_mounted(
+    path: str,
+    bucket_name: str = "certifiedgpt_storage",
+    mount_point: str = "~/storage",
+) -> None:
+    """Remount the bucket at its MOUNT POINT when an expected output path
+    is missing (ref ``metrics.py:37-38``). ``path`` is the missing output
+    location (often a subdirectory of the mount) — mounting the bucket at
+    ``path`` itself would graft the bucket ROOT onto a run directory."""
     if not os.path.exists(os.path.expanduser(path)):
-        mount_gcsfuse(bucket_name, path)
+        mount_gcsfuse(bucket_name, mount_point)

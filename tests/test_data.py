@@ -190,3 +190,32 @@ def test_cc_sbu_model_prompt_injection(cc_sbu_dir):
     ds.set_prompts(pool)
     got = {ds[i]["instruction_input"] for i in range(len(ds))}
     assert got <= set(pool) and len(got) >= 2
+
+
+def test_multiprocess_loader_partial_batch_wraps():
+    """A partial final batch under multi-process slicing pads by wrapping
+    (DistributedSampler convention) — never empty, never dropped."""
+
+    class DS:
+        def __len__(self):
+            return 9
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), float(i), np.float32)}
+
+        def collater(self, rows):
+            return {"x": np.stack([r["x"] for r in rows])}
+
+    seen = {}
+    for pid in (0, 1):
+        loader = Loader(
+            DS(), batch_size=4, shuffle=False, drop_last=False,
+            prefetch=0, num_workers=1, process_index=pid, process_count=2,
+        )
+        seen[pid] = [b["x"][:, 0].tolist() for b in loader]
+    # full batches split 2/2; the 1-row tail pads by wrapping to 2 rows
+    assert [len(b) for b in seen[0]] == [2, 2, 1]
+    assert [len(b) for b in seen[1]] == [2, 2, 1]
+    assert seen[0][0] == [0.0, 1.0] and seen[1][0] == [2.0, 3.0]
+    # tail: global rows [8] wrap to [8, 8]; each process gets one
+    assert seen[0][2] == [8.0] and seen[1][2] == [8.0]

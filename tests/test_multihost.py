@@ -65,9 +65,8 @@ save_checkpoint(
     os.path.join(out, "mh.npz"), {{"w": jnp.ones((2,))}},
     metadata={{"writer": pid}},
 )
-print("RESULT " + json.dumps(
-    {{"pid": pid, "losses": losses, "local_rows": local_rows}}
-), flush=True)
+with open(os.path.join(out, f"result_{{pid}}.json"), "w") as fh:
+    json.dump({{"pid": pid, "losses": losses, "local_rows": local_rows}}, fh)
 """
 
 
@@ -75,7 +74,12 @@ def test_two_process_cpu_cluster(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER.format(repo=REPO))
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    port = "29891"
+    # a fresh OS-assigned port so concurrent test runs cannot cross-join
+    import socket
+
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = str(sock.getsockname()[1])
     procs = [
         subprocess.Popen(
             [sys.executable, "-u", str(script), str(pid), port, str(tmp_path)],
@@ -91,8 +95,9 @@ def test_two_process_cpu_cluster(tmp_path):
     for proc in procs:
         out, err = proc.communicate(timeout=240)
         assert proc.returncode == 0, err[-3000:]
-        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
-        res = json.loads(line[len("RESULT "):])
+    # results come via files — gloo chatter can interleave with stdout
+    for pid in (0, 1):
+        res = json.loads((tmp_path / f"result_{pid}.json").read_text())
         results[res["pid"]] = res
 
     # both processes computed the SAME global loss from disjoint local rows
