@@ -84,6 +84,12 @@ class SmoothedVQAAgentBase(BaseAgent):
         # dominate wall-clock at full scale)
         self._gen_cache = {}
 
+        # profiler honoring the reference's config keys, here applied to
+        # the certification hot path (profile_step = image index)
+        from certifiedgpt_tpu.common.profiling import Profiler
+
+        self.profiler = Profiler(run)
+
     def eval_dataset(self):
         for name in self.config.datasets.keys():
             builder_cls = registry.get_builder_class(name)
@@ -214,6 +220,7 @@ class CertifyAgent(SmoothedVQAAgentBase):
             for idx in range(min(limit, len(dataset))):
                 item = dataset[idx]
                 smooth, vocab = self.smoothed_classifier(item, dataset)
+                self.profiler.maybe_start(0, idx)
                 t0 = time.time()
                 label, radius = smooth.certify(
                     item["image"], self.n0, self.n, self.alpha,
@@ -301,6 +308,7 @@ class PredictAgent(SmoothedVQAAgentBase):
             for idx in range(min(limit, len(dataset))):
                 item = dataset[idx]
                 smooth, vocab = self.smoothed_classifier(item, dataset)
+                self.profiler.maybe_start(0, idx)
                 t0 = time.time()
                 label = smooth.predict(
                     item["image"], self.n, self.alpha, seed=self.seed + idx
