@@ -109,7 +109,10 @@ def build_full_int8_params(cfg):
 
     lc = cfg.llama
 
-    from certifiedgpt_tpu.ops.quantization import quantize_stacked_kernel
+    from certifiedgpt_tpu.ops.quantization import (
+        quantize_eva_vit,
+        quantize_stacked_kernel,
+    )
 
     @functools.partial(jax.jit, static_argnums=(1, 2))
     def init_q_module(key, in_dim, out_dim):
@@ -148,10 +151,13 @@ def build_full_int8_params(cfg):
             )
         },
     }
+    vit = jax.jit(functools.partial(init_eva_vit, cfg=cfg.vit))(
+        jax.random.fold_in(key, 200)
+    )
+    if cfg.vit.act_quant:
+        vit = jax.jit(quantize_eva_vit)(vit)
     return {
-        "vit": jax.jit(functools.partial(init_eva_vit, cfg=cfg.vit))(
-            jax.random.fold_in(key, 200)
-        ),
+        "vit": vit,
         "ln_vision": L.init_layer_norm(cfg.vit.embed_dim, jnp.bfloat16),
         "qformer": jax.jit(functools.partial(init_qformer, cfg=cfg.qformer))(
             jax.random.fold_in(key, 201)
@@ -176,6 +182,11 @@ def main(argv=None):
     parser.add_argument("--n0", type=int, default=100)
     parser.add_argument("--max-new-tokens", type=int, default=10)
     parser.add_argument("--seq-len", type=int, default=96)
+    parser.add_argument(
+        "--no-act-quant", action="store_true",
+        help="disable W8A8 activation quant (full-scale mode only): "
+        "bf16 activations against int8 decoder weights, bf16 ViT",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -194,10 +205,19 @@ def main(argv=None):
         target_chip_seconds = 10.0
     else:
         # full reference scale; the vision tower uses the builtin flash
-        # kernel (full-sequence blocks — see ops/flash_attention)
+        # kernel (full-sequence blocks — see ops/flash_attention) and,
+        # by default, the W8A8 serving mode: int8 qkv/proj/fc1 ViT
+        # kernels + int8 decoder kernels with dynamic per-row activation
+        # quant on compute-bound (multi-token) calls — the MXU's
+        # double-rate int8 path (ops/quantization.py; docs/DESIGN.md).
         from certifiedgpt_tpu.models.eva_vit import EvaViTConfig
+        from certifiedgpt_tpu.models.llama import LlamaConfig
 
-        cfg = MiniGPT4Config(vit=EvaViTConfig(attn_impl="flash"))
+        aq = not args.no_act_quant
+        cfg = MiniGPT4Config(
+            vit=EvaViTConfig(attn_impl="flash", act_quant=aq),
+            llama=LlamaConfig(act_quant=aq),
+        )
         params = build_full_int8_params(cfg)
         mc_batch = args.mc_batch or 50
         metric = "certify_1_image_n1000_sigma0.5_fullscale_int8_seconds"

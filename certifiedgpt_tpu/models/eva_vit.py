@@ -53,6 +53,13 @@ class EvaViTConfig:
     # 2.2x over XLA at ViT-g scale; XLA fallback off-TPU), or
     # "flash_custom" (the hand-written kernel in ops/flash_attention)
     attn_impl: str = "xla"
+    # W8A8 serving mode: when the qkv/proj/fc1 kernels are int8-quantized
+    # (ops/quantization.quantize_eva_vit), also quantize their activations
+    # per row so the matmuls run on the MXU's double-rate int8 path.
+    # fc2 stays bf16 — its [.., mlp_hidden] input is 4.4x larger, so the
+    # dynamic-quant pass costs what the int8 matmul saves (measured).
+    # No effect on unquantized (bf16-kernel) params.
+    act_quant: bool = False
 
     @property
     def grid(self) -> int:
@@ -139,7 +146,8 @@ def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.nda
     h, dh = cfg.num_heads, cfg.head_dim
 
     hidden = L.layer_norm(lp["norm1"], x, cfg.layer_norm_eps)
-    qkv = L.dense(lp["qkv"], hidden)  # biasless [B, S, 3D]
+    aq = cfg.act_quant
+    qkv = L.dense(lp["qkv"], hidden, act_quant=aq)  # biasless [B, S, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q + lp["q_bias"].astype(q.dtype)
     v = v + lp["v_bias"].astype(v.dtype)  # k bias is identically zero
@@ -162,10 +170,10 @@ def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.nda
         attn = flash_attention(q, k, v)
     else:
         attn = multi_head_attention(q, k, v)
-    x = x + L.dense(lp["proj"], attn.reshape(b, s, d))
+    x = x + L.dense(lp["proj"], attn.reshape(b, s, d), act_quant=aq)
 
     hidden = L.layer_norm(lp["norm2"], x, cfg.layer_norm_eps)
-    hidden = L.dense(lp["fc2"], L.gelu(L.dense(lp["fc1"], hidden)))
+    hidden = L.dense(lp["fc2"], L.gelu(L.dense(lp["fc1"], hidden, act_quant=aq)))
     return x + hidden
 
 

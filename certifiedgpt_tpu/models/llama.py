@@ -50,6 +50,13 @@ class LlamaConfig:
     dtype: Any = jnp.bfloat16
     # rematerialize blocks on backward (jax.checkpoint)
     remat: bool = False
+    # W8A8 serving mode for COMPUTE-BOUND calls: when the layer kernels
+    # are int8 (ops/quantization.quantize_llama), also quantize the
+    # activations per row on multi-token calls (prefill), hitting the
+    # MXU's double-rate int8 path. Single-token decode keeps the
+    # weight-only fused-convert path — it is HBM-bandwidth-bound, so
+    # int8 activations buy nothing there. No effect on bf16 kernels.
+    act_quant: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -159,11 +166,13 @@ def _block(
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     b, s, d = x.shape
     h, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    # prefill/training only — decode (s==1) is bandwidth-bound
+    aq = cfg.act_quant and s > 1
 
     hidden = L.rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
-    q = L.dense(lp["q_proj"], hidden).reshape(b, s, h, dh)
-    k = L.dense(lp["k_proj"], hidden).reshape(b, s, hkv, dh)
-    v = L.dense(lp["v_proj"], hidden).reshape(b, s, hkv, dh)
+    q = L.dense(lp["q_proj"], hidden, act_quant=aq).reshape(b, s, h, dh)
+    k = L.dense(lp["k_proj"], hidden, act_quant=aq).reshape(b, s, hkv, dh)
+    v = L.dense(lp["v_proj"], hidden, act_quant=aq).reshape(b, s, hkv, dh)
 
     q = L.apply_rotary(q, cos, sin, positions)
     k = L.apply_rotary(k, cos, sin, positions)
@@ -178,12 +187,12 @@ def _block(
     else:
         attn = multi_head_attention(q, k, v, mask)
 
-    x = x + L.dense(lp["o_proj"], attn.reshape(b, s, h * dh))
+    x = x + L.dense(lp["o_proj"], attn.reshape(b, s, h * dh), act_quant=aq)
 
     hidden = L.rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
-    gate = L.silu(L.dense(lp["gate_proj"], hidden))
-    up = L.dense(lp["up_proj"], hidden)
-    x = x + L.dense(lp["down_proj"], gate * up)
+    gate = L.silu(L.dense(lp["gate_proj"], hidden, act_quant=aq))
+    up = L.dense(lp["up_proj"], hidden, act_quant=aq)
+    x = x + L.dense(lp["down_proj"], gate * up, act_quant=aq)
     return x, cache_k, cache_v
 
 

@@ -152,8 +152,20 @@ class MiniGPT4Model:
         size = model_cfg.get("model_size", "full")
         seed = int(model_cfg.get("init_seed", 0))
 
+        # W8A8 serving mode (model.act_quant): dynamic per-row int8
+        # activations against int8 kernels on compute-bound calls —
+        # requires quantize_llama / quantize_vit so the kernels are int8
+        act_quant = bool(model_cfg.get("act_quant", False))
         if size == "tiny":
             cfg = MiniGPT4Config.tiny()
+            if act_quant:
+                import dataclasses
+
+                cfg = dataclasses.replace(
+                    cfg,
+                    vit=dataclasses.replace(cfg.vit, act_quant=True),
+                    llama=dataclasses.replace(cfg.llama, act_quant=True),
+                )
         else:
             image_size = int(model_cfg.get("image_size", 448))
             num_query = int(model_cfg.get("num_query_token", 32))
@@ -163,9 +175,10 @@ class MiniGPT4Model:
                     # "flash" = jax's TPU flash kernel with full-sequence
                     # blocks (2.2x over XLA at 448px; XLA fallback off-TPU)
                     attn_impl=str(model_cfg.get("vit_attn_impl", "xla")),
+                    act_quant=act_quant,
                 ),
                 qformer=QFormerConfig(num_query_tokens=num_query),
-                llama=LlamaConfig(),
+                llama=LlamaConfig(act_quant=act_quant),
                 max_txt_len=int(model_cfg.get("max_txt_len", 160)),
             )
 
@@ -227,6 +240,14 @@ class MiniGPT4Model:
 
             logger.info("Quantizing decoder weights to int8")
             params["llama"] = quantize_llama(params["llama"])
+
+        if model_cfg.get("quantize_vit", False):
+            # int8 qkv/proj/fc1 vision kernels; combined with act_quant
+            # the ViT matmuls run on the MXU int8 path (docs/DESIGN.md)
+            from certifiedgpt_tpu.ops.quantization import quantize_eva_vit
+
+            logger.info("Quantizing ViT qkv/proj/fc1 kernels to int8")
+            params["vit"] = quantize_eva_vit(params["vit"])
 
         prompt_list = load_prompt_pool(
             model_cfg.get("prompt_path"), model_cfg.get("prompt_template", "{}")

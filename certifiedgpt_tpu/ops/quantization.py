@@ -48,6 +48,22 @@ def quantize_stacked_kernel(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"kernel_q": q, "scale": scale}
 
 
+def quantize_rows(x: jnp.ndarray) -> tuple:
+    """Dynamic per-row symmetric int8 quantization of an activation
+    ``[..., K]``: returns ``(xq int8, xs fp32 [..., 1])`` with
+    ``x ≈ xq * xs``. Exact algebra apart from rounding — combined with a
+    per-output-channel weight scale, ``(xq @ wq) * xs * ws`` is the
+    standard W8A8 factorization. Measured at EVA ViT-g certify shapes
+    (M=51k, K=1408): the quant pass adds ~0.1 ms while the int8 MXU
+    matmul saves ~25% over bf16 (189-205 TOP/s vs 139-153 TF/s through
+    XLA on v5e)."""
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    xs = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
 def quantize_llama(params: Dict[str, Any]) -> Dict[str, Any]:
     """Quantize every stacked layer kernel of an ``init_llama`` pytree.
 
@@ -59,6 +75,29 @@ def quantize_llama(params: Dict[str, Any]) -> Dict[str, Any]:
     for mod, leaves in params["layers"].items():
         if "kernel" in leaves:
             layers[mod] = quantize_stacked_kernel(leaves["kernel"])
+        else:
+            layers[mod] = leaves
+    out["layers"] = layers
+    return out
+
+
+def quantize_eva_vit(
+    params: Dict[str, Any], modules: tuple = ("qkv", "proj", "fc1")
+) -> Dict[str, Any]:
+    """Quantize the named stacked layer kernels of an ``init_eva_vit``
+    pytree to per-(layer, out-channel) int8. Default modules = the
+    compute-bound matmuls whose K=1408 inputs make dynamic W8A8 a net
+    win (see ``EvaViTConfig.act_quant``); fc2, norms, biases, patch
+    embedding and pos embedding stay bf16."""
+    out = dict(params)
+    layers = {}
+    for mod, leaves in params["layers"].items():
+        if mod in modules and "kernel" in leaves:
+            new = {
+                k: v for k, v in leaves.items() if k != "kernel"
+            }
+            new.update(quantize_stacked_kernel(leaves["kernel"]))
+            layers[mod] = new
         else:
             layers[mod] = leaves
     out["layers"] = layers

@@ -49,7 +49,13 @@ def main():
     from certifiedgpt_tpu.models.eva_vit import EvaViTConfig
 
     attn = sys.argv[2] if len(sys.argv) > 2 else "flash"
-    cfg = MiniGPT4Config(vit=EvaViTConfig(attn_impl=attn))
+    aq = len(sys.argv) > 3 and sys.argv[3] == "aq"
+    from certifiedgpt_tpu.models.llama import LlamaConfig
+
+    cfg = MiniGPT4Config(
+        vit=EvaViTConfig(attn_impl=attn, act_quant=aq),
+        llama=LlamaConfig(act_quant=aq),
+    )
     params = build_full_int8_params(cfg)
     print(f"vit attn_impl={attn}", flush=True)
     print("params built", flush=True)

@@ -11,8 +11,10 @@ from certifiedgpt_tpu.models.llama import (
 )
 from certifiedgpt_tpu.ops.quantization import (
     dequantize_kernel,
+    quantize_eva_vit,
     quantize_kernel,
     quantize_llama,
+    quantize_rows,
     quantized_bytes,
 )
 
@@ -55,4 +57,83 @@ def test_quantized_llama_matches_fp():
     agree = (ref.argmax(-1) == out.argmax(-1)).mean()
     assert agree > 0.7
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.1
+
+
+def test_quantize_rows_roundtrip():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(7, 33).astype(np.float32) * 3.0)
+    xq, xs = quantize_rows(x)
+    assert xq.dtype == jnp.int8 and xs.shape == (7, 1)
+    back = np.asarray(xq, np.float32) * np.asarray(xs)
+    err = np.abs(back - np.asarray(x))
+    assert np.all(err <= np.asarray(xs) * 0.51)
+
+
+def test_w8a8_dense_matches_fp():
+    """The W8A8 path (per-row activation x per-channel weight scales)
+    approximates the fp matmul; on bf16-kernel params act_quant must be
+    an exact no-op."""
+    from certifiedgpt_tpu.models import layers as L
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(5, 24).astype(np.float32))
+    params = L.init_dense(jax.random.PRNGKey(3), 24, 16)
+    ref = L.dense(params, x)
+
+    # bf16/fp kernel: act_quant flag is ignored
+    same = L.dense(params, x, act_quant=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(same))
+
+    qp = dict(quantize_kernel(params["kernel"]))
+    qp["bias"] = params["bias"]
+    out = L.dense(qp, x, act_quant=True)
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-9
+    )
+    assert rel < 0.05
+
+
+def test_w8a8_vit_matches_fp():
+    from certifiedgpt_tpu.models.eva_vit import (
+        EvaViTConfig,
+        eva_vit_apply,
+        init_eva_vit,
+    )
+    import dataclasses
+
+    cfg = EvaViTConfig.tiny(depth=3)
+    params = init_eva_vit(jax.random.PRNGKey(0), cfg)
+    images = jnp.asarray(
+        np.random.RandomState(4).randn(2, cfg.img_size, cfg.img_size, 3),
+        jnp.float32,
+    )
+    ref = np.asarray(eva_vit_apply(params, cfg, images))
+
+    qcfg = dataclasses.replace(cfg, act_quant=True)
+    qparams = quantize_eva_vit(params)
+    # fc2 kernels stay fp by default
+    assert "kernel" in qparams["layers"]["fc2"]
+    assert "kernel_q" in qparams["layers"]["qkv"]
+    out = np.asarray(eva_vit_apply(qparams, qcfg, images))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.12
+
+
+def test_w8a8_llama_prefill_matches_fp():
+    cfg = LlamaConfig.tiny(act_quant=True)
+    ref_cfg = LlamaConfig.tiny()
+    params = init_llama(jax.random.PRNGKey(0), ref_cfg)
+    qparams = quantize_llama(params)
+
+    b, s = 2, 12
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0, cfg.vocab_size)
+    x = embed_tokens(params, ids)
+    mask = jnp.ones((b, s), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    ref, _, _ = llama_apply(params, ref_cfg, x, mask, pos)
+    out, _, _ = llama_apply(qparams, cfg, x, mask, pos)
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-9
+    )
     assert rel < 0.1
