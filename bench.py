@@ -4,12 +4,15 @@
 Measures the BASELINE.json north-star configuration — certify ONE VQAv2
 image at n=1000 noise draws, sigma=0.5 — through the complete
 reference-scale pipeline on one chip: EVA ViT-g/14 at 448px (39 layers,
-~1.0B), 12-layer Q-Former, Vicuna-7B-architecture decoder with
-weight-only int8 kernels (ops/quantization.py), on-device Gaussian
-noise -> encode -> greedy KV-cache decode -> host answer->label mapping
--> Clopper-Pearson certification. Weights are seeded-random at the
-checkpoint shapes (real checkpoints are not shipped in this image); the
-compute cost is identical to a real run.
+~1.0B), 12-layer Q-Former, Vicuna-7B-architecture decoder, on-device
+Gaussian noise -> encode -> greedy KV-cache decode -> host answer->label
+mapping -> Clopper-Pearson certification. By default the towers serve in
+the W8A8 mode (int8 decoder + int8 ViT qkv/proj/fc1 kernels, dynamic
+per-row int8 activations on compute-bound calls — ops/quantization.py);
+``--no-act-quant`` reverts to bf16 activations over the weight-only int8
+decoder. Weights are seeded-random at the checkpoint shapes (real
+checkpoints are not shipped in this image); the compute cost is
+identical to a real run.
 
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": ...}
@@ -97,9 +100,11 @@ def flops_per_draw(cfg, seq_len: int, new_tokens: int) -> float:
 
 
 def build_full_int8_params(cfg):
-    """Init the full model directly at serving layout: bf16 towers,
-    int8-quantized decoder kernels — module-by-module so peak HBM stays
-    ~one fp32 layer-stack above the final ~9.2 GB footprint."""
+    """Init the full model directly at serving layout: int8-quantized
+    decoder kernels, ViT quantized per ``cfg.vit.act_quant`` (int8
+    qkv/proj/fc1 when set -> ~8.6 GB total, bf16 -> ~9.2 GB) —
+    module-by-module so peak HBM stays ~one fp32 layer-stack above the
+    final footprint."""
     import jax
     import jax.numpy as jnp
 

@@ -55,14 +55,10 @@ def dense(params, x: jnp.ndarray, act_quant: bool = False) -> jnp.ndarray:
         # 1.3-1.6x over bf16 at ViT-g/prefill shapes through XLA on v5e);
         # only worth it on compute-bound shapes — callers gate it on
         # batch*seq, decode stays on the weight-only path below.
-        from certifiedgpt_tpu.ops.quantization import quantize_rows
+        # Differentiable (straight-through vjp) — see w8a8_matmul.
+        from certifiedgpt_tpu.ops.quantization import w8a8_matmul
 
-        xq, xs = quantize_rows(x)
-        acc = jnp.einsum(
-            "...i,io->...o", xq, params["kernel_q"],
-            preferred_element_type=jnp.int32,
-        )
-        out = (acc.astype(jnp.float32) * xs * params["scale"]).astype(x.dtype)
+        out = w8a8_matmul(x, params["kernel_q"], params["scale"])
     elif "kernel_q" in params:
         # weight-only int8 (ops/quantization.py). The per-output-channel
         # scale commutes with the contraction, so apply it AFTER the

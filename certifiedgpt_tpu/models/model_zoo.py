@@ -152,20 +152,8 @@ class MiniGPT4Model:
         size = model_cfg.get("model_size", "full")
         seed = int(model_cfg.get("init_seed", 0))
 
-        # W8A8 serving mode (model.act_quant): dynamic per-row int8
-        # activations against int8 kernels on compute-bound calls —
-        # requires quantize_llama / quantize_vit so the kernels are int8
-        act_quant = bool(model_cfg.get("act_quant", False))
         if size == "tiny":
             cfg = MiniGPT4Config.tiny()
-            if act_quant:
-                import dataclasses
-
-                cfg = dataclasses.replace(
-                    cfg,
-                    vit=dataclasses.replace(cfg.vit, act_quant=True),
-                    llama=dataclasses.replace(cfg.llama, act_quant=True),
-                )
         else:
             image_size = int(model_cfg.get("image_size", 448))
             num_query = int(model_cfg.get("num_query_token", 32))
@@ -175,11 +163,22 @@ class MiniGPT4Model:
                     # "flash" = jax's TPU flash kernel with full-sequence
                     # blocks (2.2x over XLA at 448px; XLA fallback off-TPU)
                     attn_impl=str(model_cfg.get("vit_attn_impl", "xla")),
-                    act_quant=act_quant,
                 ),
                 qformer=QFormerConfig(num_query_tokens=num_query),
-                llama=LlamaConfig(act_quant=act_quant),
+                llama=LlamaConfig(),
                 max_txt_len=int(model_cfg.get("max_txt_len", 160)),
+            )
+
+        # W8A8 serving mode (model.act_quant): dynamic per-row int8
+        # activations against int8 kernels on compute-bound calls —
+        # requires quantize_llama / quantize_vit so the kernels are int8
+        if model_cfg.get("act_quant", False):
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg,
+                vit=dataclasses.replace(cfg.vit, act_quant=True),
+                llama=dataclasses.replace(cfg.llama, act_quant=True),
             )
 
         params = init_minigpt4(jax.random.PRNGKey(seed), cfg)

@@ -7,7 +7,10 @@ prefill, and the complete noisy-generate chunk. Decode time is the
 remainder. Sync is via pulling a small scalar (axon's block_until_ready is
 a no-op — see CLAUDE.md).
 
-Usage: python -u scripts/profile_full_stages.py [mc_batch]
+Usage: python -u scripts/profile_full_stages.py [mc_batch] [attn] [aq]
+  attn: vit attention impl — flash (default) | xla | flash_custom
+  aq:   literal "aq" enables the W8A8 serving mode (int8 ViT qkv/proj/
+        fc1 + dynamic activation quant; docs/DESIGN.md)
 """
 
 import sys

@@ -94,6 +94,31 @@ def test_w8a8_dense_matches_fp():
     assert rel < 0.05
 
 
+def test_w8a8_dense_gradient_is_straight_through():
+    """Training THROUGH a W8A8-quantized frozen tower must see the fp
+    matmul's gradient field (straight-through vjp), not round()'s zero
+    derivative — e.g. finetuning llama_proj backprops through the
+    act_quant decoder blocks."""
+    from certifiedgpt_tpu.models import layers as L
+    from certifiedgpt_tpu.ops.quantization import dequantize_kernel
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(6, 24).astype(np.float32))
+    params = L.init_dense(jax.random.PRNGKey(6), 24, 16)
+    qp = dict(quantize_kernel(params["kernel"]))
+    qp["bias"] = params["bias"]
+    deq = {"kernel": dequantize_kernel(qp, jnp.float32), "bias": params["bias"]}
+
+    g_q = jax.grad(lambda x: jnp.sum(jnp.sin(L.dense(qp, x, act_quant=True))))(x)
+    g_fp = jax.grad(lambda x: jnp.sum(jnp.sin(L.dense(deq, x))))(x)
+    g_q, g_fp = np.asarray(g_q), np.asarray(g_fp)
+    cos = (g_q * g_fp).sum() / (
+        np.linalg.norm(g_q) * np.linalg.norm(g_fp) + 1e-12
+    )
+    assert cos > 0.99
+    assert np.abs(g_q - g_fp).max() / (np.abs(g_fp).max() + 1e-12) < 0.1
+
+
 def test_w8a8_vit_matches_fp():
     from certifiedgpt_tpu.models.eva_vit import (
         EvaViTConfig,
