@@ -192,6 +192,11 @@ def main(argv=None):
         help="disable W8A8 activation quant (full-scale mode only): "
         "bf16 activations against int8 decoder weights, bf16 ViT",
     )
+    parser.add_argument(
+        "--no-kv-quant", action="store_true",
+        help="disable the int8 KV cache (full-scale mode only): bf16 "
+        "cache, which also forces the smaller mc_batch=50 chunk",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -219,11 +224,16 @@ def main(argv=None):
         from certifiedgpt_tpu.models.llama import LlamaConfig
 
         aq = not args.no_act_quant
+        kvq = not args.no_kv_quant
         cfg = MiniGPT4Config(
             vit=EvaViTConfig(attn_impl="flash", act_quant=aq),
-            llama=LlamaConfig(act_quant=aq),
+            llama=LlamaConfig(act_quant=aq, kv_quant=kvq),
         )
         params = build_full_int8_params(cfg)
+        # mc_batch=50 measures best: the int8 KV cache makes 100 *fit*
+        # on one v5e (bf16 tops out at 50), but HBM pressure at 100
+        # slows the vision tower more than the extra decode
+        # amortization saves (22.3 vs 21.4 ms/draw measured).
         mc_batch = args.mc_batch or 50
         metric = "certify_1_image_n1000_sigma0.5_fullscale_int8_seconds"
         peak = chip_peak_tflops(jax.devices()[0])

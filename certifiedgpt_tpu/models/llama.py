@@ -57,6 +57,16 @@ class LlamaConfig:
     # weight-only fused-convert path — it is HBM-bandwidth-bound, so
     # int8 activations buy nothing there. No effect on bf16 kernels.
     act_quant: bool = False
+    # int8 KV cache (serving): store cache keys/values as per-row
+    # (batch, position, head over head_dim) symmetric int8 with an f32
+    # scale sidecar. Decode is bound by HBM reads of weights + cache
+    # (cache ≈ 6 GB bf16 at the certify mc_batch — comparable to the
+    # int8 weights themselves); int8 halves the cache stream and the
+    # convert+rescale fuses into the attention matmul's operand feed.
+    # Also halves cache HBM *capacity*, which is what lets the zero-
+    # waste mc_batch=100 certify chunk fit one v5e. Off by default:
+    # parity tests pin the bf16 path.
+    kv_quant: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -141,12 +151,26 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> Dict[str, Any]:
     in place — a single stacked [L, ...] array restacked through scan ys
     doubles per-token cache HBM traffic (measured 34 -> 18.5 ms/step at
     the certify batch size), and in-place dynamic updates of a stacked
-    carry defeat the aliaser entirely."""
+    carry defeat the aliaser entirely.
+
+    With ``cfg.kv_quant`` the k/v buffers are int8 and carry per-row f32
+    scale sidecars ``k_scale``/``v_scale`` ([B, T, Hkv, 1] — 1/128 of the
+    cache bytes)."""
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-    return {
-        "k": tuple(jnp.zeros(shape, cfg.dtype) for _ in range(cfg.num_layers)),
-        "v": tuple(jnp.zeros(shape, cfg.dtype) for _ in range(cfg.num_layers)),
+    dtype = jnp.int8 if cfg.kv_quant else cfg.dtype
+    cache = {
+        "k": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+        "v": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
     }
+    if cfg.kv_quant:
+        sshape = shape[:-1] + (1,)
+        cache["k_scale"] = tuple(
+            jnp.zeros(sshape, jnp.float32) for _ in range(cfg.num_layers)
+        )
+        cache["v_scale"] = tuple(
+            jnp.zeros(sshape, jnp.float32) for _ in range(cfg.num_layers)
+        )
+    return cache
 
 
 # ----------------------------------------------------------------------
@@ -160,10 +184,9 @@ def _block(
     sin: jnp.ndarray,
     positions: jnp.ndarray,
     mask: jnp.ndarray,
-    cache_k: Optional[jnp.ndarray],
-    cache_v: Optional[jnp.ndarray],
+    cache: Optional[Dict[str, jnp.ndarray]],  # per-layer leaves
     cache_offset: Optional[jnp.ndarray],
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     b, s, d = x.shape
     h, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     # prefill/training only — decode (s==1) is bandwidth-bound
@@ -177,13 +200,45 @@ def _block(
     q = L.apply_rotary(q, cos, sin, positions)
     k = L.apply_rotary(k, cos, sin, positions)
 
-    if cache_k is not None:
+    if cache is not None:
         # Write the new keys/values at the static-shape cache offset, then
         # attend over the whole cache; `mask` is expected to hide unwritten
         # and padded slots.
-        cache_k = lax.dynamic_update_slice(cache_k, k, (0, cache_offset, 0, 0))
-        cache_v = lax.dynamic_update_slice(cache_v, v, (0, cache_offset, 0, 0))
-        attn = multi_head_attention(q, cache_k, cache_v, mask)
+        at = (0, cache_offset, 0, 0)
+        if cfg.kv_quant:
+            # per-(b, t, head) symmetric int8 over head_dim; the cache
+            # stream at decode is int8 + 1/128 of f32 scales. The scales
+            # commute out of both attention contractions, so the dots run
+            # against the int8 buffers directly (multi_head_attention_kv8)
+            # — dequantizing the cache to a bf16 tensor first would write
+            # it back through HBM and erase the bandwidth saving.
+            from certifiedgpt_tpu.ops.attention import (
+                multi_head_attention_kv8,
+            )
+            from certifiedgpt_tpu.ops.quantization import quantize_rows
+
+            kq, ks_ = quantize_rows(k)
+            vq, vs_ = quantize_rows(v)
+            cache = {
+                "k": lax.dynamic_update_slice(cache["k"], kq, at),
+                "v": lax.dynamic_update_slice(cache["v"], vq, at),
+                "k_scale": lax.dynamic_update_slice(
+                    cache["k_scale"], ks_, at
+                ),
+                "v_scale": lax.dynamic_update_slice(
+                    cache["v_scale"], vs_, at
+                ),
+            }
+            attn = multi_head_attention_kv8(
+                q, cache["k"], cache["k_scale"], cache["v"],
+                cache["v_scale"], mask,
+            )
+        else:
+            cache = {
+                "k": lax.dynamic_update_slice(cache["k"], k, at),
+                "v": lax.dynamic_update_slice(cache["v"], v, at),
+            }
+            attn = multi_head_attention(q, cache["k"], cache["v"], mask)
     else:
         attn = multi_head_attention(q, k, v, mask)
 
@@ -193,7 +248,7 @@ def _block(
     gate = L.silu(L.dense(lp["gate_proj"], hidden, act_quant=aq))
     up = L.dense(lp["up_proj"], hidden, act_quant=aq)
     x = x + L.dense(lp["down_proj"], gate * up, act_quant=aq)
-    return x, cache_k, cache_v
+    return x, cache
 
 
 def llama_apply(
@@ -242,7 +297,7 @@ def llama_apply(
             block = jax.checkpoint(_block, static_argnums=(2,))
 
         def step(carry, lp):
-            y, _, _ = block(carry, lp, cfg, cos, sin, positions, mask, None, None, None)
+            y, _ = block(carry, lp, cfg, cos, sin, positions, mask, None, None)
             return y, None
 
         x, _ = lax.scan(step, x, params["layers"])
@@ -251,14 +306,18 @@ def llama_apply(
         # cached mode (prefill and decode): unrolled layers over
         # independent per-layer buffers — see init_kv_cache for why this
         # beats a scan with stacked cache ys
-        ks, vs = list(kv_cache["k"]), list(kv_cache["v"])
+        keys = tuple(kv_cache.keys())
+        new_leaves = {name: [] for name in keys}
         for layer in range(cfg.num_layers):
             lp = jax.tree.map(lambda a: a[layer], params["layers"])
-            x, ks[layer], vs[layer] = _block(
-                x, lp, cfg, cos, sin, positions, mask,
-                ks[layer], vs[layer], cache_offset,
+            layer_cache = {name: kv_cache[name][layer] for name in keys}
+            x, layer_cache = _block(
+                x, lp, cfg, cos, sin, positions, mask, layer_cache,
+                cache_offset,
             )
-        new_cache = {"k": tuple(ks), "v": tuple(vs)}
+            for name in keys:
+                new_leaves[name].append(layer_cache[name])
+        new_cache = {name: tuple(new_leaves[name]) for name in keys}
 
     x = L.rms_norm(params["norm"], x, cfg.rms_norm_eps)
 

@@ -180,6 +180,14 @@ class MiniGPT4Model:
                 vit=dataclasses.replace(cfg.vit, act_quant=True),
                 llama=dataclasses.replace(cfg.llama, act_quant=True),
             )
+        # int8 KV cache (model.kv_quant): halves the decode-time cache
+        # stream and cache HBM footprint (models/llama.py::init_kv_cache)
+        if model_cfg.get("kv_quant", False):
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, llama=dataclasses.replace(cfg.llama, kv_quant=True)
+            )
 
         params = init_minigpt4(jax.random.PRNGKey(seed), cfg)
 

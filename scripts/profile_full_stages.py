@@ -7,10 +7,11 @@ prefill, and the complete noisy-generate chunk. Decode time is the
 remainder. Sync is via pulling a small scalar (axon's block_until_ready is
 a no-op — see CLAUDE.md).
 
-Usage: python -u scripts/profile_full_stages.py [mc_batch] [attn] [aq]
+Usage: python -u scripts/profile_full_stages.py [mc_batch] [attn] [flags...]
   attn: vit attention impl — flash (default) | xla | flash_custom
-  aq:   literal "aq" enables the W8A8 serving mode (int8 ViT qkv/proj/
-        fc1 + dynamic activation quant; docs/DESIGN.md)
+  flags: "aq" enables the W8A8 serving mode (int8 ViT qkv/proj/fc1 +
+         dynamic activation quant); "kvq" enables the int8 KV cache
+         (docs/DESIGN.md)
 """
 
 import sys
@@ -52,12 +53,14 @@ def main():
     from certifiedgpt_tpu.models.eva_vit import EvaViTConfig
 
     attn = sys.argv[2] if len(sys.argv) > 2 else "flash"
-    aq = len(sys.argv) > 3 and sys.argv[3] == "aq"
+    flags = set(sys.argv[3:])
+    aq = "aq" in flags
+    kvq = "kvq" in flags
     from certifiedgpt_tpu.models.llama import LlamaConfig
 
     cfg = MiniGPT4Config(
         vit=EvaViTConfig(attn_impl=attn, act_quant=aq),
-        llama=LlamaConfig(act_quant=aq),
+        llama=LlamaConfig(act_quant=aq, kv_quant=kvq),
     )
     params = build_full_int8_params(cfg)
     print(f"vit attn_impl={attn}", flush=True)

@@ -93,6 +93,53 @@ def test_kv_cache_matches_full_forward(tiny):
         )
 
 
+def test_int8_kv_cache_tracks_full_forward(tiny):
+    """kv_quant stores the cache int8+scales; decode logits must track the
+    uncached forward within quantization error, and the cache leaves must
+    actually be int8 (the serving memory/bandwidth claim)."""
+    import dataclasses
+
+    cfg, params = tiny
+    qcfg = dataclasses.replace(cfg, kv_quant=True)
+    b, s, max_len = 2, 9, 16
+    prefill = 5
+    ids = jax.random.randint(jax.random.PRNGKey(7), (b, s), 0, cfg.vocab_size)
+    x = embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    ref_logits, _, _ = llama_apply(
+        params, cfg, x, jnp.ones((b, s), jnp.int32), pos
+    )
+
+    cache = init_kv_cache(qcfg, b, max_len)
+    assert cache["k"][0].dtype == jnp.int8
+    assert cache["k_scale"][0].shape == (b, max_len, cfg.num_kv_heads, 1)
+    cache_mask = jnp.broadcast_to(
+        (jnp.arange(max_len) < s)[None].astype(jnp.int32), (b, max_len)
+    )
+    logits_p, _, cache = llama_apply(
+        params, qcfg, x[:, :prefill], cache_mask, pos[:, :prefill],
+        kv_cache=cache, cache_offset=jnp.int32(0),
+    )
+    assert cache["k"][0].dtype == jnp.int8  # stays quantized after update
+    outs = [logits_p]
+    for t in range(prefill, s):
+        logits_t, _, cache = llama_apply(
+            params, qcfg, x[:, t : t + 1], cache_mask, pos[:, t : t + 1],
+            kv_cache=cache, cache_offset=jnp.int32(t),
+        )
+        outs.append(logits_t)
+    got = jnp.concatenate(outs, axis=1)
+    # int8 per-row cache quantization perturbs attention by O(1/127);
+    # logits of the tiny fp32 model stay within a small absolute band and
+    # the greedy argmax only moves where the reference top-2 margin is
+    # itself inside that band (near-ties of the random init).
+    np.testing.assert_allclose(got, ref_logits, atol=0.05)
+    flipped = np.asarray(jnp.argmax(got, -1) != jnp.argmax(ref_logits, -1))
+    top2 = np.sort(np.asarray(ref_logits, np.float32), axis=-1)[..., -2:]
+    margin = top2[..., 1] - top2[..., 0]
+    assert np.all(margin[flipped] < 0.1), margin[flipped]
+
+
 def test_cross_entropy_label_smoothing_matches_torch(tiny):
     torch = pytest.importorskip("torch")
     cfg, _ = tiny
