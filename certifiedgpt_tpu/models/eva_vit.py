@@ -53,12 +53,10 @@ class EvaViTConfig:
     # 2.2x over XLA at ViT-g scale; XLA fallback off-TPU), or
     # "flash_custom" (the hand-written kernel in ops/flash_attention)
     attn_impl: str = "xla"
-    # W8A8 serving mode: when the qkv/proj/fc1 kernels are int8-quantized
-    # (ops/quantization.quantize_eva_vit), also quantize their activations
-    # per row so the matmuls run on the MXU's double-rate int8 path.
-    # fc2 stays bf16 — its [.., mlp_hidden] input is 4.4x larger, so the
-    # dynamic-quant pass costs what the int8 matmul saves (measured).
-    # No effect on unquantized (bf16-kernel) params.
+    # W8A8 serving mode: when the qkv/proj/fc1/fc2 kernels are
+    # int8-quantized (ops/quantization.quantize_eva_vit), also quantize
+    # their activations per row so the matmuls run on the MXU's
+    # double-rate int8 path. No effect on unquantized (bf16) params.
     act_quant: bool = False
 
     @property
@@ -173,7 +171,10 @@ def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.nda
     x = x + L.dense(lp["proj"], attn.reshape(b, s, d), act_quant=aq)
 
     hidden = L.layer_norm(lp["norm2"], x, cfg.layer_norm_eps)
-    hidden = L.dense(lp["fc2"], L.gelu(L.dense(lp["fc1"], hidden, act_quant=aq)))
+    hidden = L.dense(
+        lp["fc2"], L.gelu(L.dense(lp["fc1"], hidden, act_quant=aq)),
+        act_quant=aq,
+    )
     return x + hidden
 
 

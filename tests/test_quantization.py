@@ -137,8 +137,8 @@ def test_w8a8_vit_matches_fp():
 
     qcfg = dataclasses.replace(cfg, act_quant=True)
     qparams = quantize_eva_vit(params)
-    # fc2 kernels stay fp by default
-    assert "kernel" in qparams["layers"]["fc2"]
+    # all four tower matmuls are int8 in the serving mode
+    assert "kernel_q" in qparams["layers"]["fc2"]
     assert "kernel_q" in qparams["layers"]["qkv"]
     out = np.asarray(eva_vit_apply(qparams, qcfg, images))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
