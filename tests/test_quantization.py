@@ -162,3 +162,38 @@ def test_w8a8_llama_prefill_matches_fp():
         np.abs(np.asarray(ref)).max() + 1e-9
     )
     assert rel < 0.1
+
+
+def test_kv8_attention_matches_dequantized_attention():
+    """multi_head_attention_kv8 must equal attention over the explicitly
+    dequantized cache — the scale commuting is exact algebra, so the only
+    difference is bf16 rounding of the weight*scale product (fp32 here)."""
+    import jax
+
+    from certifiedgpt_tpu.ops.attention import (
+        multi_head_attention,
+        multi_head_attention_kv8,
+    )
+    from certifiedgpt_tpu.ops.quantization import quantize_rows
+
+    b, sq, sk, h, dh = 2, 3, 7, 4, 16
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(keys[0], (b, sq, h, dh), jnp.float32)
+    k = jax.random.normal(keys[1], (b, sk, h, dh), jnp.float32)
+    v = jax.random.normal(keys[2], (b, sk, h, dh), jnp.float32)
+    kq, ks = quantize_rows(k)
+    vq, vs = quantize_rows(v)
+    mask = (
+        jax.random.uniform(jax.random.PRNGKey(3), (b, 1, sq, sk)) > 0.3
+    )
+    # ensure no fully-masked row
+    mask = mask.at[..., 0].set(True)
+
+    ref = multi_head_attention(
+        q,
+        kq.astype(jnp.float32) * ks,
+        vq.astype(jnp.float32) * vs,
+        mask,
+    )
+    got = multi_head_attention_kv8(q, kq, ks, vq, vs, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
