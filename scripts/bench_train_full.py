@@ -26,6 +26,7 @@ sys.path.insert(0, ".")
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    aq = "aq" in sys.argv[2:]
     import jax
     import jax.numpy as jnp
     import optax
@@ -43,9 +44,13 @@ def main():
     from certifiedgpt_tpu.optim import make_optimizer
 
     seq = 160  # ref max_txt_len budget
+    # "aq": W8A8 in training too — sound here because NO gradient flows
+    # through the ViT at all (it sits before the trainable projection),
+    # and the decoder's act_quant matmuls carry the straight-through vjp
+    # (tests/test_quantization.py::test_w8a8_dense_gradient_is_straight_through)
     cfg = MiniGPT4Config(
-        vit=EvaViTConfig(attn_impl="flash"),
-        llama=LlamaConfig(remat=True),
+        vit=EvaViTConfig(attn_impl="flash", act_quant=aq),
+        llama=LlamaConfig(remat=True, act_quant=aq),
     )
     params = build_full_int8_params(cfg)
     print("params built", file=sys.stderr, flush=True)
