@@ -98,7 +98,16 @@ def test_launch_train_cli(cli_setup):
 def test_launch_certify_cli(cli_setup):
     tmp_path, img_dir = cli_setup
     cfg = {
-        "model": {"arch": "minigpt4", "model_size": "tiny"},
+        # the full serving stack through the CLI: int8 kernels, W8A8
+        # activations, int8 KV cache (the bench.py configuration)
+        "model": {
+            "arch": "minigpt4",
+            "model_size": "tiny",
+            "quantize_llama": True,
+            "quantize_vit": True,
+            "act_quant": True,
+            "kv_quant": True,
+        },
         "datasets": {
             "evalvqav2": {
                 "vis_processor": {
