@@ -144,12 +144,16 @@ class SmoothedVQAAgentBase(BaseAgent):
 
     def smoothed_classifier(self, item, dataset=None) -> (Smooth, AnswerVocabulary):
         vocab = self.build_vocab(item, dataset)
-        if self.sigma not in self._gen_cache:
+        # sigma is a runtime argument of the compiled pipeline (the noise
+        # graph traces it as a scalar; the generate graph never sees it),
+        # so ONE cached gen serves every sigma of a run.sigma_grid sweep —
+        # no per-sigma recompile (classifier.make_noisy_generate_fn).
+        if "gen" not in self._gen_cache:
             from certifiedgpt_tpu.smoothing.classifier import (
                 make_noisy_generate_fn,
             )
 
-            self._gen_cache[self.sigma] = make_noisy_generate_fn(
+            self._gen_cache["gen"] = make_noisy_generate_fn(
                 self.model,
                 self.sigma,
                 self.mc_batch,
@@ -169,7 +173,7 @@ class SmoothedVQAAgentBase(BaseAgent):
             seq_len=self.seq_len,
             mesh=self.mesh,
             noise_dist=self.noise_dist,
-            gen=self._gen_cache[self.sigma],
+            gen=self._gen_cache["gen"],
         )
         return Smooth(sample_fn, vocab.num_classes, self.sigma), vocab
 

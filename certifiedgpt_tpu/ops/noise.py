@@ -87,8 +87,12 @@ def _noisy_tile_pallas(
 def _noisy_tile_xla(
     x: jnp.ndarray, n: int, sigma: float, key: jnp.ndarray
 ) -> jnp.ndarray:
+    """``sigma`` may be a Python float OR a traced scalar (the certify
+    pipeline passes it as a runtime argument so one compiled graph serves
+    a whole sigma sweep). sigma=0 is exact either way: ``x + 0.0*normal``
+    is bit-identical to ``x`` in IEEE f32."""
     tiled = jnp.broadcast_to(x[None], (n,) + x.shape)
-    if sigma <= 0:
+    if isinstance(sigma, (int, float)) and sigma <= 0:
         return tiled
     return tiled + sigma * jax.random.normal(key, tiled.shape, jnp.float32)
 
@@ -108,7 +112,15 @@ def noisy_tile(
     sequentially per core, so the kernel cannot beat XLA's fused RNG
     here). The Pallas path stays available for future tuning.
     """
-    if not use_pallas or jax.default_backend() != "tpu" or sigma <= 0:
+    if (
+        not use_pallas
+        or jax.default_backend() != "tpu"
+        # the Pallas kernel bakes sigma as a compile-time constant; a
+        # traced sigma (runtime sweep argument) takes the XLA path, as
+        # does sigma<=0 (clean tile)
+        or not isinstance(sigma, (int, float))
+        or sigma <= 0
+    ):
         return _noisy_tile_xla(x, n, sigma, key)
 
     h, w, c = x.shape

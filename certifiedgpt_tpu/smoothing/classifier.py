@@ -8,13 +8,16 @@ bridge, built BEFORE any sampling so Cohen's guarantee holds:
    candidate answers + one catch-all OTHER class). Normalization is the
    official VQA pipeline (``vqa_tools.vqa_eval.normalize_answer``), so a
    certified label agrees with the accuracy metric's notion of equality.
-2. ``make_sample_fn`` — ONE jit-compiled function per (question, sigma):
-   tile the clean image to a Monte-Carlo batch, add Gaussian noise on
-   device (counter-based keys; contrast ref ``smoothing.py:96`` which
-   hard-codes CUDA noise), run the full encode->greedy-decode graph, and
-   return token ids. The host decodes tokens to strings and maps them to
-   label ids. The MC axis is the batch axis, so on a mesh it shards
-   data-parallel over ICI (SURVEY.md §5.7).
+2. ``make_sample_fn`` — binds a question onto ONE jit-compiled pipeline
+   shared across the whole run: tile the clean image to a Monte-Carlo
+   batch, add Gaussian noise on device (counter-based keys; contrast ref
+   ``smoothing.py:96`` which hard-codes CUDA noise), run the full
+   encode->greedy-decode graph, and return token ids. The host decodes
+   tokens to strings and maps them to label ids. The MC axis is the
+   batch axis, so on a mesh it shards data-parallel over ICI (SURVEY.md
+   §5.7). Both the prompt AND sigma are runtime arguments of the
+   compiled graphs, so every (question, sigma) of a dataset sweep reuses
+   the same compilation.
 """
 
 from __future__ import annotations
@@ -127,20 +130,26 @@ def make_noisy_generate_fn(
     # graph crashes this image's TPU backend (verified bisect — the same
     # HLO minus the in-graph RNG compiles and runs), and the split costs
     # only one extra ~3 ms dispatch per chunk.
+    # sigma is a TRACED argument, not a baked constant: the expensive
+    # generate graph never depends on it, and with a runtime sigma the
+    # noise graph doesn't either — so a multi-sigma certification sweep
+    # (run.sigma_grid) reuses ONE compiled pipeline instead of paying a
+    # full-scale recompile (~minutes on TPU) per sigma.
     @jax.jit
-    def noise_fn(image, key):
+    def noise_fn(image, key, sigma_val):
         # tile the single sample to the Monte-Carlo batch; the fused Pallas
         # path draws the Gaussian on-core (ops/noise.py), the XLA fallback
         # covers CPU tests and the uniform bug-compat mode.
-        if noise_dist == "uniform" and sigma > 0:
+        if noise_dist == "uniform":
+            # sigma=0 multiplies the draw away — same output as no draw
             images = jnp.broadcast_to(image[None], (mc_batch,) + image.shape)
-            images = images + sigma * jax.random.uniform(
+            images = images + sigma_val * jax.random.uniform(
                 key, images.shape, images.dtype
             )
         else:
             from certifiedgpt_tpu.ops.noise import noisy_tile
 
-            images = noisy_tile(image, mc_batch, sigma, key)
+            images = noisy_tile(image, mc_batch, sigma_val, key)
         if mc_sharding is not None:
             images = jax.lax.with_sharding_constraint(
                 images, mc_sharding(images.ndim)
@@ -179,8 +188,12 @@ def make_noisy_generate_fn(
             pos = jax.device_put(pos, mc_sharding(1))
         return tiled[0], tiled[1], pos
 
-    def fn(params, image, input_ids, attention_mask, img_pos, key):
-        images = noise_fn(image, key)
+    def fn(
+        params, image, input_ids, attention_mask, img_pos, key,
+        sigma_override=None,
+    ):
+        sv = sigma if sigma_override is None else sigma_override
+        images = noise_fn(image, key, jnp.float32(sv))
         if input_ids.shape[0] != mc_batch:  # untiled [1, S] prompt
             input_ids, attention_mask, img_pos = tile_prompt(
                 input_ids, attention_mask, img_pos
@@ -211,9 +224,10 @@ def make_sample_fn(
     ``sample_fn(x, num, seed) -> labels`` interface of ``Smooth``.
 
     Pass a pre-built ``gen`` (from ``make_noisy_generate_fn``) when
-    certifying many questions at the same (sigma, mc_batch, shapes): the
-    prompt is a runtime argument, so ONE compiled graph serves the whole
-    dataset instead of re-tracing per image (the certify agents do this).
+    certifying many questions at the same (mc_batch, shapes): the prompt
+    and sigma are runtime arguments, so ONE compiled graph serves the
+    whole dataset — and every sigma of a sweep — instead of re-tracing
+    per image (the certify agents do this).
     """
     spec = BatchSpec(seq_len=seq_len, num_img_tokens=model.cfg.num_img_tokens)
     prompt = build_gen_batch(model.tokenizer, [instruction], spec)
@@ -259,6 +273,7 @@ def make_sample_fn(
                 p_am,
                 p_pos,
                 jax.random.fold_in(base_key, chunk),
+                sigma_override=sigma,
             )
             for chunk in range(n_chunks)
         ]

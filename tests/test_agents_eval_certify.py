@@ -149,6 +149,18 @@ def test_certify_sigma_sweep(eval_setup):
     out = tmp_path / "out_image_text_certify"
     assert (out / "certify_sweep.json").exists()
     assert (out / "sigma_0.25" / "certify_results.jsonl").exists()
+    # sigma is a runtime scalar of the compiled pipeline: the whole sweep
+    # must share ONE gen with ONE compiled generate graph (a per-sigma
+    # rebuild costs a full-scale XLA recompile per sigma on TPU)
+    from certifiedgpt_tpu.common.metrics import jit_cache_size
+
+    assert len(agent._gen_cache) == 1
+    (gen,) = agent._gen_cache.values()
+    assert jit_cache_size(gen) == 1, "generate graph recompiled across sigmas"
+    # and the two sigmas really produced different certifications
+    r_small = result["sweep"]["0.25"]
+    r_large = result["sweep"]["0.5"]
+    assert r_small["sigma"] == 0.25 and r_large["sigma"] == 0.5
 
 
 def test_eval_agent_test_split_predictions(tmp_path):
