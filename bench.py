@@ -102,7 +102,7 @@ def flops_per_draw(cfg, seq_len: int, new_tokens: int) -> float:
 def build_full_int8_params(cfg):
     """Init the full model directly at serving layout: int8-quantized
     decoder kernels, ViT quantized per ``cfg.vit.act_quant`` (int8
-    qkv/proj/fc1 when set -> ~8.6 GB total, bf16 -> ~9.2 GB) —
+    qkv/proj/fc1/fc2 when set -> ~8.5 GB total, bf16 -> ~9.2 GB) —
     module-by-module so peak HBM stays ~one fp32 layer-stack above the
     final footprint."""
     import jax
@@ -195,7 +195,8 @@ def main(argv=None):
     parser.add_argument(
         "--no-kv-quant", action="store_true",
         help="disable the int8 KV cache (full-scale mode only): bf16 "
-        "cache, which also forces the smaller mc_batch=50 chunk",
+        "cache; note the bf16 cache does not fit mc_batch > ~50 on a "
+        "16 GB chip",
     )
     args = parser.parse_args(argv)
 

@@ -154,8 +154,8 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> Dict[str, Any]:
     carry defeat the aliaser entirely.
 
     With ``cfg.kv_quant`` the k/v buffers are int8 and carry per-row f32
-    scale sidecars ``k_scale``/``v_scale`` ([B, T, Hkv, 1] — 1/128 of the
-    cache bytes)."""
+    scale sidecars ``k_scale``/``v_scale`` ([B, T, Hkv, 1] — one f32 per
+    head_dim ints = 1/32 of the cache bytes at head_dim 128)."""
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     dtype = jnp.int8 if cfg.kv_quant else cfg.dtype
     cache = {
@@ -207,7 +207,8 @@ def _block(
         at = (0, cache_offset, 0, 0)
         if cfg.kv_quant:
             # per-(b, t, head) symmetric int8 over head_dim; the cache
-            # stream at decode is int8 + 1/128 of f32 scales. The scales
+            # stream at decode is int8 + the f32 scale sidecar (1/32 of
+            # the cache bytes at head_dim 128). The scales
             # commute out of both attention contractions, so the dots run
             # against the int8 buffers directly (multi_head_attention_kv8)
             # — dequantizing the cache to a bf16 tensor first would write

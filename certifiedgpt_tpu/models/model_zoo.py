@@ -169,24 +169,22 @@ class MiniGPT4Model:
                 max_txt_len=int(model_cfg.get("max_txt_len", 160)),
             )
 
-        # W8A8 serving mode (model.act_quant): dynamic per-row int8
-        # activations against int8 kernels on compute-bound calls —
-        # requires quantize_llama / quantize_vit so the kernels are int8
-        if model_cfg.get("act_quant", False):
+        # Serving-mode knobs: model.act_quant = W8A8 (dynamic per-row
+        # int8 activations against int8 kernels on compute-bound calls —
+        # requires quantize_llama / quantize_vit so the kernels are
+        # int8); model.kv_quant = int8 KV cache (halves the decode-time
+        # cache stream and footprint, models/llama.py::init_kv_cache)
+        aq = bool(model_cfg.get("act_quant", False))
+        kvq = bool(model_cfg.get("kv_quant", False))
+        if aq or kvq:
             import dataclasses
 
             cfg = dataclasses.replace(
                 cfg,
-                vit=dataclasses.replace(cfg.vit, act_quant=True),
-                llama=dataclasses.replace(cfg.llama, act_quant=True),
-            )
-        # int8 KV cache (model.kv_quant): halves the decode-time cache
-        # stream and cache HBM footprint (models/llama.py::init_kv_cache)
-        if model_cfg.get("kv_quant", False):
-            import dataclasses
-
-            cfg = dataclasses.replace(
-                cfg, llama=dataclasses.replace(cfg.llama, kv_quant=True)
+                vit=dataclasses.replace(cfg.vit, act_quant=aq),
+                llama=dataclasses.replace(
+                    cfg.llama, act_quant=aq, kv_quant=kvq
+                ),
             )
 
         params = init_minigpt4(jax.random.PRNGKey(seed), cfg)

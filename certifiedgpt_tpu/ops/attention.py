@@ -6,6 +6,8 @@ default path is plain jnp einsum + fp32 softmax — XLA fuses this well on
 TPU and tiles the matmuls onto the MXU. A Pallas flash-attention path can
 be slotted in behind the same signature for long sequences (the vision
 tower's 1025-token sequence is the main candidate).
+``multi_head_attention_kv8`` is the same numerics over an int8-quantized
+KV cache; both share the masked-softmax core below.
 
 Shapes follow the [batch, seq, heads, head_dim] convention.
 """
@@ -16,6 +18,23 @@ from typing import Optional
 
 import jax.numpy as jnp
 from jax import lax
+
+
+def _masked_softmax(logits: jnp.ndarray, mask) -> jnp.ndarray:
+    """fp32 max-shifted softmax over the last axis with True=keep masking
+    and a tiny-guard renormalization. The single source of the softmax
+    numerics for every attention variant in this module."""
+    if mask is not None:
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(mask, logits, neg)
+    weights = jnp.exp(
+        logits - lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    )
+    if mask is not None:
+        weights = jnp.where(mask, weights, 0.0)
+    return weights / jnp.maximum(
+        jnp.sum(weights, axis=-1, keepdims=True), jnp.finfo(jnp.float32).tiny
+    )
 
 
 def multi_head_attention(
@@ -43,20 +62,7 @@ def multi_head_attention(
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )
-    logits = logits * jnp.float32(scale)
-
-    if mask is not None:
-        neg = jnp.finfo(jnp.float32).min
-        logits = jnp.where(mask, logits, neg)
-
-    weights = jnp.exp(
-        logits - lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
-    )
-    if mask is not None:
-        weights = jnp.where(mask, weights, 0.0)
-    weights = weights / jnp.maximum(
-        jnp.sum(weights, axis=-1, keepdims=True), jnp.finfo(jnp.float32).tiny
-    )
+    weights = _masked_softmax(logits * jnp.float32(scale), mask)
 
     out = jnp.einsum(
         "bhqk,bkhd->bqhd",
@@ -88,45 +94,42 @@ def multi_head_attention_kv8(
     A naive ``multi_head_attention(q, kq8*ks, vq8*vs, ...)`` makes XLA
     write the bf16 dequantized cache back to HBM — measured to erase the
     entire int8 bandwidth saving at decode shapes. This form keeps the
-    HBM stream int8 + 1/128 scales.
+    HBM stream int8 + the f32 scale sidecar (1/32 of the cache bytes at
+    head_dim 128). Grouped-query caches are handled by folding the query
+    heads as [B, Sq, H_kv, G, Dh] and contracting against the H_kv cache
+    directly — repeating the int8 cache to H heads would materialize the
+    very tensor this function exists to avoid.
     """
-    h_q, h_kv = q.shape[2], kq8.shape[2]
-    if h_kv != h_q:
-        rep = h_q // h_kv
-        kq8 = jnp.repeat(kq8, rep, axis=2)
-        ks = jnp.repeat(ks, rep, axis=2)
-        vq8 = jnp.repeat(vq8, rep, axis=2)
-        vs = jnp.repeat(vs, rep, axis=2)
+    b, sq, h, dh = q.shape
+    h_kv = kq8.shape[2]
+    g = h // h_kv
     if scale is None:
-        scale = q.shape[-1] ** -0.5
+        scale = dh**-0.5
 
-    # [B, Sk, H, 1] -> [B, H, 1, Sk] to broadcast over the score rows
-    ks_b = jnp.transpose(ks[..., 0], (0, 2, 1))[:, :, None, :]
-    vs_b = jnp.transpose(vs[..., 0], (0, 2, 1))[:, :, None, :]
+    # [B, Sk, H_kv, 1] -> [B, H_kv, 1, 1, Sk] to broadcast over (G, Sq)
+    ks_b = jnp.transpose(ks[..., 0], (0, 2, 1))[:, :, None, None, :]
+    vs_b = jnp.transpose(vs[..., 0], (0, 2, 1))[:, :, None, None, :]
 
+    qg = q.reshape(b, sq, h_kv, g, dh)
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, kq8.astype(q.dtype),
+        "bqhgd,bkhd->bhgqk", qg, kq8.astype(q.dtype),
         preferred_element_type=jnp.float32,
-    )
+    )  # [B, H_kv, G, Sq, Sk]
     logits = logits * ks_b * jnp.float32(scale)
 
     if mask is not None:
-        neg = jnp.finfo(jnp.float32).min
-        logits = jnp.where(mask, logits, neg)
+        # lift [B|1, H|1, Sq, Sk] to the grouped [.., H_kv, G, Sq, Sk]
+        if mask.shape[1] == 1:
+            mask = mask[:, :, None]  # head-agnostic: broadcast over (H_kv, G)
+        else:
+            mask = mask.reshape(mask.shape[0], h_kv, g, sq, -1)
 
-    weights = jnp.exp(
-        logits - lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
-    )
-    if mask is not None:
-        weights = jnp.where(mask, weights, 0.0)
-    weights = weights / jnp.maximum(
-        jnp.sum(weights, axis=-1, keepdims=True), jnp.finfo(jnp.float32).tiny
-    )
+    weights = _masked_softmax(logits, mask)
 
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd",
+        "bhgqk,bkhd->bqhgd",
         (weights * vs_b).astype(q.dtype),
         vq8.astype(q.dtype),
         preferred_element_type=jnp.float32,
     )
-    return out.astype(q.dtype)
+    return out.reshape(b, sq, h, dh).astype(q.dtype)

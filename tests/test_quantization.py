@@ -197,3 +197,19 @@ def test_kv8_attention_matches_dequantized_attention():
     )
     got = multi_head_attention_kv8(q, kq, ks, vq, vs, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # grouped-query: an H_kv < H cache must match the repeated-head
+    # reference WITHOUT the kv8 path materializing a repeated cache
+    # (it contracts the grouped queries against the H_kv cache directly)
+    kq2, ks2 = quantize_rows(k[:, :, :2])
+    vq2, vs2 = quantize_rows(v[:, :, :2])
+    ref_g = multi_head_attention(
+        q,
+        kq2.astype(jnp.float32) * ks2,
+        vq2.astype(jnp.float32) * vs2,
+        mask,
+    )
+    got_g = multi_head_attention_kv8(q, kq2, ks2, vq2, vs2, mask)
+    np.testing.assert_allclose(
+        np.asarray(got_g), np.asarray(ref_g), atol=2e-5
+    )
