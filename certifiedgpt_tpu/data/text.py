@@ -127,8 +127,12 @@ def build_train_batch(
 
     for i, (inst, ans) in enumerate(zip(instructions, answers)):
         before, after = _split_instruction(tokenizer, inst)
-        # keep the tail of 'before' (adjacent to the image) when oversized
-        before = before[-max_before:] if len(before) > max_before else before
+        # keep the tail of 'before' (adjacent to the image) when
+        # oversized. NOTE: slice from the front, not ``[-max_before:]`` —
+        # Python's ``lst[-0:]`` is the WHOLE list, so the negative form
+        # silently skips truncation when max_before == 0.
+        if len(before) > max_before:
+            before = before[len(before) - max_before:]
         ans_ids = tokenizer.encode(ans)[: spec.max_answer_len - 1]
         prompt = (
             [tokenizer.bos_token_id]
@@ -187,15 +191,34 @@ def build_multiturn_train_batch(
     attention_mask = np.zeros((b, s), np.int32)
     img_pos = np.zeros((b,), np.int32)
 
+    if s < 1 + spec.num_img_tokens + 2:
+        raise ValueError(
+            f"seq_len {s} cannot hold bos + {spec.num_img_tokens} image "
+            f"tokens + an answer"
+        )
+
     for i, turns in enumerate(conversations):
         ids: list = [tokenizer.bos_token_id]
         labs: list = [IGNORE_INDEX]
-        pos = 1
         for t, (user, assistant) in enumerate(turns):
             user_seg = user_role + user + assistant_role
-            if t == 0 and IMAGE_PLACEHOLDER in user_seg:
-                before, after = user_seg.split(IMAGE_PLACEHOLDER, 1)
+            if t == 0:
+                # the model ALWAYS scatters the image span at img_pos
+                # (assemble_embeds is unconditional), so the span must
+                # exist even when the text lacks <ImageHere> — mirror
+                # _split_instruction: a missing placeholder puts the
+                # image right after bos.
+                before, _, after = user_seg.partition(IMAGE_PLACEHOLDER)
+                if not _:
+                    before, after = "", user_seg
                 before_ids = tokenizer.encode(before)
+                # the span + at least one answer token must fit the
+                # fixed shape — otherwise the clamped on-device
+                # dynamic_update_slice would silently overwrite answer
+                # embeddings while labels still supervise those slots
+                max_before = s - 1 - spec.num_img_tokens - 2
+                if len(before_ids) > max_before:
+                    before_ids = before_ids[len(before_ids) - max_before:]
                 img_pos[i] = len(ids) + len(before_ids)
                 seg_ids = (
                     before_ids
@@ -246,8 +269,10 @@ def build_gen_batch(
 
     for i, inst in enumerate(instructions):
         before, after = _split_instruction(tokenizer, inst)
-        # keep the tail of 'before' (adjacent to the image) when oversized
-        before = before[-max_before:] if len(before) > max_before else before
+        # keep the tail of 'before' (adjacent to the image) when
+        # oversized (front-slice form: ``[-0:]`` would be a no-op)
+        if len(before) > max_before:
+            before = before[len(before) - max_before:]
         prompt = (
             [tokenizer.bos_token_id]
             + before

@@ -360,5 +360,13 @@ def cross_entropy_loss(
     if reduction == "none":
         # mean over each sample's valid tokens
         return jnp.sum(per_token, axis=-1) / jnp.maximum(counts, 1)
+    if reduction == "sum":
+        # per-sample SUM over valid tokens. This is the rank-relevant
+        # reduction for candidate scoring: the reference's
+        # ``reduction='none'`` does ``loss.view(B, -1).mean(1)`` over the
+        # FULL padded length (ref modeling_llama.py:122-123) — a constant
+        # divisor per batch — so its ranking equals the sum's, NOT the
+        # per-valid-token mean's (which would favor long candidates).
+        return jnp.sum(per_token, axis=-1)
     total = jnp.sum(per_token)
     return total / jnp.maximum(jnp.sum(counts), 1)

@@ -175,14 +175,18 @@ def minigpt4_loss(
     cfg: MiniGPT4Config,
     batch: Dict[str, jnp.ndarray],
     reduction: str = "mean",
+    img_embeds: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """CE loss on answer tokens (ref ``minigpt_base.py:320-365`` semantics:
     label-smoothed CE, -100 masking outside the answer span).
 
     batch keys: image [B,H,W,C], input_ids [B,S], attention_mask [B,S],
-    labels [B,S], img_pos [B].
+    labels [B,S], img_pos [B]. Pass precomputed ``img_embeds`` to skip
+    the vision tower (candidate ranking runs many text variants over the
+    same images — see ``rank_answers``).
     """
-    img_embeds = encode_img(params, cfg, batch["image"])
+    if img_embeds is None:
+        img_embeds = encode_img(params, cfg, batch["image"])
     embeds = assemble_embeds(params, cfg, batch["input_ids"], img_embeds, batch["img_pos"])
     positions = jnp.broadcast_to(
         jnp.arange(embeds.shape[1]), embeds.shape[:2]
@@ -528,9 +532,25 @@ def rank_answers(
     ``batches`` maps candidate answer -> a train-layout batch where every
     sample carries that candidate as the answer. Returns [B, n_candidates]
     rank indices (best first).
+
+    Scoring uses the per-sample SUM of token losses: the reference's
+    ``reduction='none'`` averages over the FULL padded length (a constant
+    divisor shared by all candidates, ref ``modeling_llama.py:122-123``),
+    so its ranking is the sum's — a per-valid-token mean would instead
+    systematically favor longer candidates. The vision tower runs ONCE:
+    every candidate batch carries the same images, so the (dominant)
+    image encoding is shared across candidates.
     """
     losses = []
+    img_embeds = None
     for _, cand_batch in batches.items():
-        losses.append(minigpt4_loss(params, cfg, cand_batch, reduction="none"))
+        if img_embeds is None:
+            img_embeds = encode_img(params, cfg, cand_batch["image"])
+        losses.append(
+            minigpt4_loss(
+                params, cfg, cand_batch, reduction="sum",
+                img_embeds=img_embeds,
+            )
+        )
     all_losses = jnp.stack(losses, axis=-1)  # [B, n_cand]
     return jnp.argsort(all_losses, axis=-1)

@@ -192,6 +192,14 @@ def make_noisy_generate_fn(
         params, image, input_ids, attention_mask, img_pos, key,
         sigma_override=None,
     ):
+        if input_ids.shape[-1] != seq_len:
+            # every distinct prompt length is a separate XLA compilation
+            # of the full pipeline — reject the mismatch instead of
+            # silently re-tracing (callers bind one seq_len per run)
+            raise ValueError(
+                f"prompt length {input_ids.shape[-1]} != gen seq_len "
+                f"{seq_len}: rebuild the prompt with the gen's BatchSpec"
+            )
         sv = sigma if sigma_override is None else sigma_override
         images = noise_fn(image, key, jnp.float32(sv))
         if input_ids.shape[0] != mc_batch:  # untiled [1, S] prompt
@@ -262,25 +270,42 @@ def make_sample_fn(
         base_key = jax.random.PRNGKey(seed)
         n_chunks = (num + mc_batch - 1) // mc_batch
 
-        # dispatch every chunk asynchronously (JAX queues them on device),
-        # then decode token ids on host while later chunks still execute —
-        # host string work overlaps device compute.
-        pending = [
-            gen(
-                model.params,
-                image,
-                p_ids,
-                p_am,
-                p_pos,
-                jax.random.fold_in(base_key, chunk),
-                sigma_override=sigma,
+        # Dispatch chunks asynchronously (JAX queues them on device) so
+        # host token-decode work overlaps device compute — but with a
+        # BOUNDED look-ahead: every dispatched chunk owns a
+        # [mc_batch, H, W, C] noisy-image buffer from the moment it is
+        # enqueued (~240 MB at the full-scale mc=100), so enqueueing all
+        # chunks of a Cohen-standard n=100k run up front would request
+        # hundreds of GB of HBM on a chip the model already nearly
+        # fills. A window of a few chunks gives the same overlap.
+        window = 4
+        from collections import deque
+
+        pending: "deque" = deque()
+
+        def dispatch(chunk):
+            pending.append(
+                gen(
+                    model.params,
+                    image,
+                    p_ids,
+                    p_am,
+                    p_pos,
+                    jax.random.fold_in(base_key, chunk),
+                    sigma_override=sigma,
+                )
             )
-            for chunk in range(n_chunks)
-        ]
+
+        for chunk in range(min(window, n_chunks)):
+            dispatch(chunk)
         done = 0
         eos = tokenizer.eos_token_id
-        for chunk_tokens in pending:
-            tokens = np.asarray(chunk_tokens)
+        next_chunk = min(window, n_chunks)
+        while pending:
+            tokens = np.asarray(pending.popleft())  # sync on the oldest
+            if next_chunk < n_chunks:
+                dispatch(next_chunk)
+                next_chunk += 1
             take = min(mc_batch, num - done)
             for i in range(take):
                 ids = tokens[i].tolist()

@@ -120,6 +120,12 @@ class Smooth:
     ) -> Tuple[int, float]:
         """Return (class, certified radius) or (ABSTAIN, 0.0)
         (ref ``smoothing.py:29-56``)."""
+        if self.num_classes < 2:
+            # degenerate single-class label set (e.g. every ground-truth
+            # answer normalizes to empty): every draw trivially maps to
+            # the one class, so a "certificate" would be vacuous — abstain
+            # like predict does rather than report a large radius
+            return ABSTAIN, 0.0
         counts0 = self._counts(x, n0, seed)
         c_a = int(np.argmax(counts0))
         counts = self._counts(x, n, seed + 1)

@@ -219,3 +219,68 @@ def test_multiprocess_loader_partial_batch_wraps():
     assert seen[0][0] == [0.0, 1.0] and seen[1][0] == [2.0, 3.0]
     # tail: global rows [8] wrap to [8, 8]; each process gets one
     assert seen[0][2] == [8.0] and seen[1][2] == [8.0]
+
+
+def test_gen_batch_minimal_seq_len_truncates_before_text():
+    """seq_len == 1 + num_img_tokens: max_before is 0 and 'before' text
+    must actually be dropped (``lst[-0:]`` is the whole list — the
+    negative-slice form silently skipped truncation and then crashed on
+    a negative pad)."""
+    from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch
+    from certifiedgpt_tpu.data.text import ByteTokenizer
+
+    tok = ByteTokenizer()
+    spec = BatchSpec(seq_len=5, num_img_tokens=4, max_answer_len=4)
+    batch = build_gen_batch(tok, ["text before <ImageHere>"], spec)
+    assert batch["input_ids"].shape == (1, 5)
+    # bos + 4 image pads fill the row exactly; the before-text is gone
+    assert batch["attention_mask"].sum() == 5
+
+
+def test_multiturn_without_placeholder_still_reserves_image_span():
+    """assemble_embeds scatters the image span unconditionally, so a
+    first turn without <ImageHere> must still get pad slots at img_pos
+    (otherwise 32 image embeddings silently overwrite supervised text)."""
+    from certifiedgpt_tpu.data.text import (
+        IGNORE_INDEX,
+        BatchSpec,
+        ByteTokenizer,
+        build_multiturn_train_batch,
+    )
+
+    tok = ByteTokenizer()
+    spec = BatchSpec(seq_len=64, num_img_tokens=4, max_answer_len=8)
+    batch = build_multiturn_train_batch(
+        tok, [[("no image marker here", "cat")]], spec
+    )
+    p = int(batch["img_pos"][0])
+    assert np.all(
+        batch["input_ids"][0, p : p + 4] == tok.pad_token_id
+    )
+    # the span is never supervised
+    assert np.all(batch["labels"][0, p : p + 4] == IGNORE_INDEX)
+    # and the answer survives outside the span
+    labs = batch["labels"][0]
+    sup = labs[labs != IGNORE_INDEX]
+    assert tok.decode([int(t) for t in sup if t >= 4]) == "cat"
+
+
+def test_multiturn_oversized_first_turn_keeps_span_and_answer_in_bounds():
+    """A first user turn near seq_len must not push the image span (or
+    let the span overwrite answer slots) past the fixed shape."""
+    from certifiedgpt_tpu.data.text import (
+        IGNORE_INDEX,
+        BatchSpec,
+        ByteTokenizer,
+        build_multiturn_train_batch,
+    )
+
+    tok = ByteTokenizer()
+    spec = BatchSpec(seq_len=24, num_img_tokens=4, max_answer_len=8)
+    long_turn = "x" * 100 + "<ImageHere> q"
+    batch = build_multiturn_train_batch(tok, [[(long_turn, "y")]], spec)
+    p = int(batch["img_pos"][0])
+    # span + at least one answer token fit the fixed shape
+    assert p + 4 + 2 <= 24
+    assert np.all(batch["input_ids"][0, p : p + 4] == tok.pad_token_id)
+    assert np.all(batch["labels"][0, p : p + 4] == IGNORE_INDEX)

@@ -270,3 +270,68 @@ def test_early_exit_matches_scan_decode():
         )
     )
     np.testing.assert_array_equal(base2, fast2)
+
+
+def test_rank_answers_ranks_by_reference_sum_not_token_mean(model):
+    """The reference's multi_select divides per-sample loss by the FULL
+    padded length (one shared constant), so its ranking equals the
+    per-sample SUM of token losses — a per-valid-token mean would favor
+    long candidates. rank_answers must reproduce the sum ranking."""
+    from certifiedgpt_tpu.models.minigpt4 import minigpt4_loss
+
+    tok = model.tokenizer
+    spec = BatchSpec(
+        seq_len=48, num_img_tokens=model.cfg.num_img_tokens, max_answer_len=24
+    )
+    instructions = ["<Img><ImageHere></Img> what?"] * 2
+    image = jax.random.normal(
+        jax.random.PRNGKey(5),
+        (2, model.cfg.vit.img_size, model.cfg.vit.img_size, 3),
+    )
+    batches = {}
+    for cand in ["cat", "a very much longer answer"]:
+        b = build_train_batch(tok, instructions, [cand] * 2, spec)
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        b["image"] = image
+        batches[cand] = b
+    ranks = np.asarray(rank_answers(model.params, model.cfg, batches))
+    sums = np.stack(
+        [
+            np.asarray(
+                minigpt4_loss(model.params, model.cfg, b, reduction="sum")
+            )
+            for b in batches.values()
+        ],
+        axis=-1,
+    )
+    np.testing.assert_array_equal(ranks, np.argsort(sums, axis=-1))
+
+
+def test_cross_entropy_sum_reduction_identity():
+    """reduction='sum' must equal reduction='none' x valid-token count,
+    and with unequal candidate lengths the two orderings can differ —
+    the constructed case below is exactly the reference-divergence shape."""
+    from certifiedgpt_tpu.models.llama import cross_entropy_loss
+
+    v, s = 4, 12
+    # candidate A: 2 valid tokens at high per-token loss
+    # candidate B: 9 valid tokens at lower per-token loss
+    logits = np.zeros((2, s, v), np.float32)
+    labels = np.full((2, s), -100, np.int64)
+    labels[0, 1:3] = 1
+    labels[1, 1:10] = 1
+    # margin controls per-token loss: smaller margin = higher loss
+    logits[0, :, 1] = 0.2   # loss ~ ln(1+3e-0.2) high
+    logits[1, :, 1] = 1.5   # lower per-token loss
+    sums = cross_entropy_loss(
+        jnp.asarray(logits), jnp.asarray(labels), 0.0, reduction="sum"
+    )
+    means = cross_entropy_loss(
+        jnp.asarray(logits), jnp.asarray(labels), 0.0, reduction="none"
+    )
+    counts = np.array([2, 9], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(sums), np.asarray(means) * counts, rtol=1e-6
+    )
+    # mean prefers the long low-per-token candidate, sum the short one
+    assert means[1] < means[0] and sums[0] < sums[1]

@@ -145,3 +145,16 @@ def test_sharded_sample_fn_on_cpu_mesh():
             model, "q", vocab, sigma=0.5, mc_batch=3, max_new_tokens=2,
             seq_len=32, mesh=mesh,
         )
+
+
+def test_certify_abstains_on_degenerate_single_class_vocab():
+    """num_classes < 2 (every gt answer normalized to empty) must abstain
+    in BOTH certify and predict — a single-class 'certificate' is vacuous
+    (every draw trivially maps to OTHER with pA_bar ~ alpha^(1/n))."""
+    from certifiedgpt_tpu.smoothing.smoothing import ABSTAIN, Smooth
+
+    sample_fn = lambda x, num, seed: np.zeros((num,), np.int64)  # noqa: E731
+    smooth = Smooth(sample_fn, num_classes=1, sigma=0.5)
+    label, radius = smooth.certify(None, n0=4, n=16, alpha=0.05)
+    assert label == ABSTAIN and radius == 0.0
+    assert smooth.predict(None, n=16, alpha=0.05) == ABSTAIN
