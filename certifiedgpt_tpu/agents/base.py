@@ -101,12 +101,17 @@ class BaseAgent:
                 os.path.getmtime(staged) < os.path.getmtime(path)
             ):
                 tmp = staged + ".partial"
-                shutil.copy(path, tmp)
-                os.replace(tmp, staged)
+                # stage the meta sidecar FIRST: freshness is keyed on the
+                # staged npz, so a kill between the two renames must
+                # leave the npz un-staged (retried next run) rather than
+                # a staged npz whose metadata is permanently missing
+                # (resume would silently restart from epoch 0)
                 meta = path + ".meta.json"
                 if os.path.exists(meta):
                     shutil.copy(meta, tmp)
                     os.replace(tmp, staged + ".meta.json")
+                shutil.copy(path, tmp)
+                os.replace(tmp, staged)
                 self.logger.info("staged checkpoint to %s", staged)
             path = staged
         return load_checkpoint(path, trainable_template, opt_state_template)
@@ -130,6 +135,9 @@ class BaseAgent:
         self.loss_history.setdefault(split, []).append(float(value))
 
     def save_history(self) -> None:
+        if jax.process_index() != 0:
+            # shared output dir under multi-host SPMD: one writer
+            return
         path = os.path.join(self.output_dir, "loss_history.json")
         with open(path, "w") as handle:
             json.dump(self.loss_history, handle)

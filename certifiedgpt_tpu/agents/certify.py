@@ -91,25 +91,27 @@ class SmoothedVQAAgentBase(BaseAgent):
         self.profiler = Profiler(run)
 
     def eval_dataset(self):
-        for name in self.config.datasets.keys():
+        names = list(self.config.datasets.keys())
+        for pos, name in enumerate(names):
             builder_cls = registry.get_builder_class(name)
             datasets = builder_cls().build_datasets()
             for split in ("val", "test", "train"):
                 if split in datasets:
+                    if pos + 1 < len(names):
+                        self.logger.warning(
+                            "certify uses only '%s'; ignoring configured "
+                            "datasets %s (run them as separate configs)",
+                            name, names[pos + 1:],
+                        )
                     return datasets[split]
         raise RuntimeError("No dataset configured for certification")
 
     def wrap_instruction(self, instruction: str) -> str:
-        template = self.run_cfg.get("conv_template")
-        if not template:
-            return instruction
-        from certifiedgpt_tpu.models.conversation import TEMPLATES
+        from certifiedgpt_tpu.models.conversation import wrap_instruction
 
-        conv = TEMPLATES[str(template)].copy()
-        conv.system = ""
-        conv.append_message(conv.roles[0], instruction)
-        conv.append_message(conv.roles[1], None)
-        return conv.get_prompt()
+        return wrap_instruction(
+            instruction, self.run_cfg.get("conv_template")
+        )
 
     def build_vocab(self, item, dataset=None) -> AnswerVocabulary:
         """Label-set construction (``run.vocab_mode``):
@@ -199,14 +201,19 @@ class CertifyAgent(SmoothedVQAAgentBase):
         sigma_grid = self.run_cfg.get("sigma_grid")
         if sigma_grid:
             # multi-sigma certification sweep (BASELINE.json config #5):
-            # one summary per sigma, plus the combined grid.
+            # one summary per sigma, plus the combined grid. The dataset
+            # is sigma-independent — build it ONCE (re-parsing/joining
+            # the VQAv2 annotation JSONs per sigma costs minutes of
+            # redundant host I/O), and the compiled pipeline is shared
+            # too (sigma is a runtime scalar).
+            dataset = self.eval_dataset()
             sweep = {}
             base_out = self.output_dir
             for sigma in [float(s) for s in sigma_grid]:
                 self.sigma = sigma
                 self.output_dir = os.path.join(base_out, f"sigma_{sigma}")
                 os.makedirs(self.output_dir, exist_ok=True)
-                sweep[str(sigma)] = self._run_single()
+                sweep[str(sigma)] = self._run_single(dataset)
             self.output_dir = base_out
             with open(os.path.join(base_out, "certify_sweep.json"), "w") as handle:
                 json.dump(sweep, handle, indent=2)
@@ -214,8 +221,9 @@ class CertifyAgent(SmoothedVQAAgentBase):
             return {"sweep": sweep}
         return self._run_single()
 
-    def _run_single(self) -> Dict[str, Any]:
-        dataset = self.eval_dataset()
+    def _run_single(self, dataset=None) -> Dict[str, Any]:
+        if dataset is None:
+            dataset = self.eval_dataset()
         limit = int(self.max_images) if self.max_images else len(dataset)
         rows: List[Dict[str, Any]] = []
         results_path = os.path.join(self.output_dir, "certify_results.jsonl")

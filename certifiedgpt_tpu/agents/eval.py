@@ -91,18 +91,12 @@ class EvalAgent(BaseAgent):
         self._generate = self._build_generate()
 
     def wrap_instructions(self, instructions):
-        if not self.conv_template:
-            return instructions
-        from certifiedgpt_tpu.models.conversation import TEMPLATES
+        from certifiedgpt_tpu.models.conversation import wrap_instruction
 
-        out = []
-        for inst in instructions:
-            conv = TEMPLATES[str(self.conv_template)].copy()
-            conv.system = ""
-            conv.append_message(conv.roles[0], inst)
-            conv.append_message(conv.roles[1], None)
-            out.append(conv.get_prompt())
-        return out
+        return [
+            wrap_instruction(inst, self.conv_template)
+            for inst in instructions
+        ]
 
     def _build_generate(self):
         cfg = self.model.cfg
@@ -178,11 +172,21 @@ class EvalAgent(BaseAgent):
                 "run them on one process — multi-process SPMD is the train "
                 "path's mode"
             )
-        for name in self.config.datasets.keys():
+        names = list(self.config.datasets.keys())
+        for pos, name in enumerate(names):
             builder_cls = registry.get_builder_class(name)
             datasets = builder_cls().build_datasets()
             for split in ("val", "test"):
                 if split in datasets:
+                    if pos + 1 < len(names):
+                        # one dataset per eval run (the reference scores
+                        # one benchmark per config) — say so instead of
+                        # silently ignoring the rest
+                        self.logger.warning(
+                            "eval scores only '%s'; ignoring configured "
+                            "datasets %s (run them as separate configs)",
+                            name, names[pos + 1:],
+                        )
                     # eval is single-controller per host (DESIGN.md §1):
                     # the whole dataset is scored on one process, so pin
                     # process_count=1 — multi-process would otherwise
@@ -305,27 +309,33 @@ class EvalAgent(BaseAgent):
         scorer = VQAEval(vqa, res, n=2)
         accuracy = scorer.evaluate()
 
-        # aux metrics (ref :126-166)
+        # aux metrics (ref :126-166). Guard per-entry: the test-split
+        # branch above keys off the FIRST annotation only, so a val set
+        # where some later question lacks answers must not crash the
+        # whole (already-computed) eval here.
         gt_first = {
-            a["question_id"]: a["answers"][0]["answer"] for a in gt_annotations
+            a["question_id"]: a["answers"][0]["answer"]
+            for a in gt_annotations
+            if a["answers"]
         }
+        scored = [p for p in predictions if p["question_id"] in gt_first]
         exact = float(
             np.mean(
                 [
                     normalize_answer(p["answer"])
                     == normalize_answer(gt_first[p["question_id"]])
-                    for p in predictions
+                    for p in scored
                 ]
             )
-        )
+        ) if scored else 0.0
         f1 = float(
             np.mean(
                 [
                     token_f1(p["answer"], gt_first[p["question_id"]])
-                    for p in predictions
+                    for p in scored
                 ]
             )
-        )
+        ) if scored else 0.0
         counts = Counter(normalize_answer(p["answer"]) for p in predictions)
         bias_answer, bias_count = (
             counts.most_common(1)[0] if counts else ("", 0)
@@ -334,8 +344,8 @@ class EvalAgent(BaseAgent):
         bert_f1 = None
         if self.run_cfg.get("bertscore", False):
             bert_f1 = maybe_bertscore(
-                [p["answer"] for p in predictions],
-                [gt_first[p["question_id"]] for p in predictions],
+                [p["answer"] for p in scored],
+                [gt_first[p["question_id"]] for p in scored],
                 self.logger,
             )
 

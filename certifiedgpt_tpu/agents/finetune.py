@@ -89,6 +89,11 @@ class FinetuneAgent(BaseAgent):
     def _setup_wandb(self):
         if not self.run_cfg.get("wandb", False):
             return None
+        if jax.process_index() != 0:
+            # multi-host SPMD: one wandb run, owned by process 0 (the
+            # reference's master-ordinal guard, ref
+            # minigpt4_finetune_agent.py:454-478)
+            return None
         try:
             import wandb
 
@@ -167,7 +172,13 @@ class FinetuneAgent(BaseAgent):
                     dataset,
                     batch_size=self.batch_size,
                     shuffle=(split == "train"),
-                    drop_last=True,
+                    # train drops the remainder for one stable compiled
+                    # shape (ref drop_last=True); val keeps it — dropping
+                    # would bias the early-stop signal, and a val split
+                    # smaller than batch_size would otherwise yield ZERO
+                    # batches and a silent val_loss of 0.0 (the tail
+                    # batch costs one extra eval-step compile, once)
+                    drop_last=(split == "train"),
                     seed=self.seed,
                     num_workers=int(self.run_cfg.get("num_workers", 4)),
                 )
@@ -220,15 +231,26 @@ class FinetuneAgent(BaseAgent):
         return {"loss": loss_f, "steps": 1}
 
     def _run_validation(self, trainable, frozen, val_loader, rng) -> float:
-        v_sum, v_n = 0.0, 0
+        # sample-weighted mean so the (kept) partial tail batch counts
+        # its actual rows, not a full batch's worth
+        v_sum, v_rows, v_batches = 0.0, 0, 0
         for batch in val_loader:
+            rows = len(next(iter(batch.values())))
             dev_batch = self.device_batch(batch)
-            step_rng = jax.random.fold_in(rng, 10_000_000 + v_n)
-            v_sum += float(
+            step_rng = jax.random.fold_in(rng, 10_000_000 + v_batches)
+            v_sum += rows * float(
                 self._eval_step(trainable, frozen, dev_batch, step_rng)
             )
-            v_n += 1
-        return v_sum / max(v_n, 1)
+            v_rows += rows
+            v_batches += 1
+        if v_rows == 0:
+            # an empty val split would otherwise report 0.0 and poison
+            # best-checkpoint selection / early stopping — fail loudly
+            raise RuntimeError(
+                "validation split produced no batches; check the val "
+                "dataset configuration or set run.has_val_split: false"
+            )
+        return v_sum / v_rows
 
     def run(self) -> Dict[str, Any]:
         run = self.run_cfg
@@ -247,6 +269,7 @@ class FinetuneAgent(BaseAgent):
         opt_state = self.optimizer.init(trainable)
         rng = jax.random.PRNGKey(self.seed)
         start_epoch = 0
+        start_step = 0
 
         resume = run.get("resume_ckpt_path")
         if resume:
@@ -257,6 +280,12 @@ class FinetuneAgent(BaseAgent):
                 if restored_opt is not None:
                     opt_state = restored_opt
                 start_epoch = int(meta.get("epoch", -1)) + 1
+                # restore the step counter too: the logged lr
+                # (self.lr_schedule(global_step)) must agree with the
+                # restored optimizer's schedule position, and the
+                # per-step rng keys (fold_in(rng, global_step)) must not
+                # replay the noise draws already consumed pre-resume
+                start_step = int(meta.get("global_step", 0))
                 self.logger.info("Resumed from %s at epoch %d", resume, start_epoch)
             except FileNotFoundError:
                 self.logger.info("No resume checkpoint at %s; fresh start", resume)
@@ -276,7 +305,7 @@ class FinetuneAgent(BaseAgent):
         ckpt_name = str(run.get("checkpoint_name", "checkpoint"))
         best_val = float("inf")
         bad_epochs = 0
-        global_step = 0
+        global_step = start_step
 
         max_iters = run.get("iters_per_epoch")
         epoch = start_epoch - 1  # stays if the loop body never runs (resume at end)
@@ -341,7 +370,8 @@ class FinetuneAgent(BaseAgent):
 
             # resume checkpoint every epoch (with optimizer state)
             self.save_agent_checkpoint(
-                ckpt_name, trainable, opt_state, epoch=epoch
+                ckpt_name, trainable, opt_state, epoch=epoch,
+                global_step=global_step,
             )
 
             monitored = val_loss if val_loss is not None else train_loss
@@ -363,4 +393,10 @@ class FinetuneAgent(BaseAgent):
         # push trained weights back into the live model
         self.model.params = merge_params(trainable, frozen)
         self.save_history()
-        return {"best_val": best_val, "epochs": epoch + 1, "steps": global_step}
+        # "steps" = steps run in THIS invocation (a resume that has
+        # nothing left reports 0, even though global_step restored >0)
+        return {
+            "best_val": best_val,
+            "epochs": epoch + 1,
+            "steps": global_step - start_step,
+        }

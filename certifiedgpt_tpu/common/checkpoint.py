@@ -82,9 +82,21 @@ def save_checkpoint(
                 if os.path.exists(tmp):
                     os.remove(tmp)
                 raise
+            # the sidecar follows the same temp+rename contract as the
+            # npz: a crash mid-dump must not leave torn JSON that breaks
+            # the next resume
             meta_path = path + ".meta.json"
-            with open(meta_path, "w") as handle:
-                json.dump(metadata or {}, handle)
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(os.path.abspath(path)), suffix=".tmp"
+            )
+            try:
+                with os.fdopen(fd, "w") as handle:
+                    json.dump(metadata or {}, handle)
+                os.replace(tmp, meta_path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+                raise
     finally:
         # the barrier must run even when rank 0's write fails — otherwise
         # every other rank hangs in the collective while rank 0 unwinds

@@ -61,7 +61,14 @@ class TPUMetrics:
 
     def _append(self, row: str) -> None:
         """Append a line; on failure, try remounting the (gcsfuse) output
-        dir once and retry (ref ``common/metrics.py:37-38``)."""
+        dir once and retry (ref ``common/metrics.py:37-38``). Process 0
+        only under multi-host SPMD — every process appending the same
+        shared-fs file would interleave duplicate rows (the reference's
+        master-ordinal guard on TPUMetrics writes)."""
+        import jax
+
+        if jax.process_index() != 0:
+            return
         try:
             with open(self.path, "a") as handle:
                 handle.write(row + "\n")

@@ -104,6 +104,22 @@ TEMPLATES = {
 }
 
 
+def wrap_instruction(instruction: str, template: Optional[str]) -> str:
+    """Wrap a bare instruction in a conversation template with a blanked
+    system prompt — the serving-time prompt convention shared by the
+    eval AND certify agents (ref ``minigpt4_eval_agent.py:80-81,96``:
+    ``CONV_VISION_minigptv2`` with ``conv.system = ""``). One helper so
+    the two agents can never drift apart and invalidate cross-agent
+    comparisons. ``template`` falsy -> the instruction passes through."""
+    if not template:
+        return instruction
+    conv = TEMPLATES[str(template)].copy()
+    conv.system = ""
+    conv.append_message(conv.roles[0], instruction)
+    conv.append_message(conv.roles[1], None)
+    return conv.get_prompt()
+
+
 class Chat:
     """Minimal interactive helper over the compiled generate path
     (the reference's ``Chat`` ask/answer surface, CUDA-free)."""

@@ -238,3 +238,32 @@ def test_gradient_accumulation_equals_big_batch():
         np.testing.assert_allclose(
             np.asarray(p[key]), np.asarray(ref_p[key]), atol=1e-6
         )
+
+
+def test_small_val_split_still_validates(tiny_run):
+    """A val split smaller than batch_size must still produce a val loss
+    (drop_last would yield ZERO val batches and a silent 0.0 that
+    poisons best-checkpoint selection / early stopping)."""
+    config, tmp_path = tiny_run
+    data = config.config._data
+    bi = data["datasets"]["vqav2"]["build_info"]
+    # val = the same tiny files; 16 samples < batch_size 20
+    val_dir = tmp_path / "images" / "val2014"
+    val_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(1)
+    for i in range(16):
+        image_id = 2000 + i
+        arr = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(
+            val_dir / f"COCO_val2014_{image_id:012d}.jpg"
+        )
+    bi["questions"]["val"] = bi["questions"]["train"]
+    bi["annotations"]["val"] = bi["annotations"]["train"]
+    data["run"]["has_val_split"] = True
+    data["run"]["batch_size"] = 20
+    data["run"]["max_epoch"] = 1
+    data["run"]["iters_per_epoch"] = 1
+    agent = setup_agent(config)
+    result = agent.run()
+    # the partial val batch was evaluated: a real (nonzero) loss monitored
+    assert result["best_val"] > 0.0
