@@ -194,14 +194,37 @@ class AttackAgent(BaseAgent):
         self._victim_generate = self._build_victim()
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _shapes_match(template, converted) -> bool:
+        """Same pytree structure AND leaf shapes — guards against loading
+        a same-depth/different-patch CLIP variant whose converter happens
+        to succeed (e.g. a ViT-B/32 dir into the vit_b16 config): the
+        mismatch would otherwise only explode inside the first jitted
+        PGD trace."""
+        try:
+            t_leaves, t_def = jax.tree.flatten(template)
+            c_leaves, c_def = jax.tree.flatten(converted)
+        except Exception:
+            return False
+        return t_def == c_def and all(
+            getattr(a, "shape", None) == getattr(b, "shape", None)
+            for a, b in zip(t_leaves, c_leaves)
+        )
+
     def _build_encoders(self) -> List[SurrogateEncoder]:
         encoders = []
-        clip_dir = self.run_cfg.get("clip_model")
         for i, name in enumerate(self.backbone_names):
             if name not in _BACKBONES:
                 raise KeyError(f"Unknown attack backbone '{name}'")
             cfg, apply_fn, init_fn = _BACKBONES[name]()
             params = init_fn(jax.random.PRNGKey(1000 + i), cfg)
+            loaded = False
+            # per-backbone dir first (clip_model_vit_b16: one HF dir per
+            # variant), then the shared clip_model as a fallback — with a
+            # shape check either way
+            clip_dir = self.run_cfg.get(
+                f"clip_model_{name}", self.run_cfg.get("clip_model")
+            )
             if clip_dir and name.startswith("vit") and os.path.exists(str(clip_dir)):
                 try:
                     from transformers import CLIPModel
@@ -211,12 +234,54 @@ class AttackAgent(BaseAgent):
                     hf = CLIPModel.from_pretrained(str(clip_dir))
                     converted = convert_hf_clip(
                         hf.state_dict(), cfg, ClipTextConfig()
-                    )
-                    params = converted["vision"]
-                    self.logger.info("Loaded %s weights from %s", name, clip_dir)
+                    )["vision"]
+                    if self._shapes_match(params, converted):
+                        params = converted
+                        loaded = True
+                        self.logger.info(
+                            "Loaded %s weights from %s", name, clip_dir
+                        )
+                    else:
+                        self.logger.warning(
+                            "clip dir %s does not match backbone %s "
+                            "(wrong CLIP variant?); random init — set "
+                            "run.clip_model_%s to the matching HF dir",
+                            clip_dir, name, name,
+                        )
                 except Exception as exc:
                     self.logger.warning(
                         "CLIP load failed for %s (%s); random init", name, exc
+                    )
+            rn_ckpt = self.run_cfg.get(f"clip_model_{name}")
+            if name.startswith("rn") and rn_ckpt and os.path.exists(str(rn_ckpt)):
+                # OpenAI ``visual.*`` ResNet checkpoint (RN50/RN101 rows
+                # of ref README.md:114-115)
+                try:
+                    import torch
+
+                    from certifiedgpt_tpu.attack.clip import (
+                        convert_openai_clip_resnet,
+                    )
+
+                    sd = torch.load(str(rn_ckpt), map_location="cpu")
+                    if hasattr(sd, "state_dict"):
+                        sd = sd.state_dict()
+                    converted = convert_openai_clip_resnet(sd, cfg)
+                    if self._shapes_match(params, converted):
+                        params = converted
+                        loaded = True
+                        self.logger.info(
+                            "Loaded %s weights from %s", name, rn_ckpt
+                        )
+                    else:
+                        self.logger.warning(
+                            "checkpoint %s does not match backbone %s; "
+                            "random init", rn_ckpt, name,
+                        )
+                except Exception as exc:
+                    self.logger.warning(
+                        "CLIP ResNet load failed for %s (%s); random init",
+                        name, exc,
                     )
 
             if name.startswith("blip2"):
@@ -234,6 +299,7 @@ class AttackAgent(BaseAgent):
                         params = convert_eva_vit_state_dict(
                             torch.load(str(vit_path), map_location="cpu"), cfg
                         )
+                        loaded = True
                         self.logger.info(
                             "Loaded %s weights from %s", name, vit_path
                         )
@@ -242,6 +308,16 @@ class AttackAgent(BaseAgent):
                             "EVA load failed for %s (%s); random init",
                             name, exc,
                         )
+
+            if not loaded and not name.endswith("_tiny"):
+                # full-scale surrogate on random features: the per-backbone
+                # success rate and ANCOVA rows would LOOK like the
+                # reference's result while measuring noise — shout
+                self.logger.warning(
+                    "attack backbone %s is running on RANDOM weights; its "
+                    "success rate is meaningless (set run.clip_model / "
+                    "run.clip_model_%s)", name, name,
+                )
 
             def make_apply(fn, c):
                 return lambda p, imgs: fn(p, c, imgs)
@@ -370,6 +446,19 @@ class AttackAgent(BaseAgent):
             )
             for enc in self.encoders
         }
+        # one compiled target-embedding fn per backbone too: the eager
+        # embed_images path dispatches a full surrogate forward op-by-op
+        # per image inside the hot loop
+        from certifiedgpt_tpu.attack.attack import embed_images
+
+        self._embed_fns = {
+            enc.name: jax.jit(
+                lambda p, x, enc=enc: embed_images([enc], {enc.name: p}, x)[
+                    enc.name
+                ]
+            )
+            for enc in self.encoders
+        }
 
         rows: List[Dict[str, Any]] = []
         results_path = os.path.join(self.output_dir, "attack_results.jsonl")
@@ -391,7 +480,7 @@ class AttackAgent(BaseAgent):
                 for enc in self.encoders:
                     adv = self._attack_one(
                         attacks[enc.name], pixels, target_pixels,
-                        target_text, enc, idx,
+                        target_text, enc, idx, instruction,
                     )
                     row = self._score(
                         idx, item, enc.name, pixels, adv, target_text,
@@ -432,17 +521,21 @@ class AttackAgent(BaseAgent):
         return item.get("answer", "a photo")
 
     def _attack_one(
-        self, attack, pixels, target_pixels, target_text, enc, idx
+        self, attack, pixels, target_pixels, target_text, enc, idx,
+        instruction,
     ) -> np.ndarray:
         """Transfer stage: PGD toward the *target image's* surrogate
         embedding (the AttackVLM feature-matching objective), then the
-        optional RGF query stage against the victim."""
-        from certifiedgpt_tpu.attack.attack import embed_images
-
+        optional RGF query stage against the victim. ``instruction`` is
+        the SAME prompt `_score` judges with — spending the query budget
+        on captions of a different prompt would optimize an objective
+        the success metric never sees."""
         x = jnp.asarray(pixels)[None]
-        target_embeds = embed_images(
-            [enc], {enc.name: enc.params}, jnp.asarray(target_pixels)[None]
-        )
+        target_embeds = {
+            enc.name: self._embed_fns[enc.name](
+                enc.params, jnp.asarray(target_pixels)[None]
+            )
+        }
         adv = np.asarray(
             attack({enc.name: enc.params}, x, target_embeds)
         )[0]
@@ -450,7 +543,6 @@ class AttackAgent(BaseAgent):
         if self.rgf_queries > 0:
             text_enc = self.text_encoder
             target_emb = text_enc([target_text])[0]
-            instruction = "<Img><ImageHere></Img> Describe this image."
             step_counter = [0]
 
             def victim_score(p):

@@ -153,16 +153,19 @@ class VQAv2Dataset(BaseDataset):
                 continue
             conf = ans.get("answer_confidence")
             weights[text] += 2.0 if conf == "yes" else 1.0 if conf == "maybe" else 0.0
-        if not weights:
-            # all answers had zero confidence; fall back to uniform
+        answers = list(weights.keys())
+        probs = np.asarray(list(weights.values()), np.float64)
+        # the zero-total check must look at the SUM, not dict emptiness:
+        # answers whose confidence is all 'no' create 0.0-weight entries
+        # (defaultdict), and 0/0 normalization would put NaNs into
+        # rng.choice and kill the epoch on one bad sample
+        if not answers or probs.sum() <= 0:
             texts = [a["answer"] for a in annotation.get("answers", []) if a.get("answer")]
             if not texts:
                 raise ValueError(
                     f"No answers for question_id {annotation.get('question_id')}"
                 )
             return str(rng.choice(texts))
-        answers = list(weights.keys())
-        probs = np.asarray(list(weights.values()), np.float64)
         probs = probs / probs.sum()
         return str(rng.choice(answers, p=probs))
 
@@ -175,6 +178,10 @@ class VQAv2Dataset(BaseDataset):
         answer = self.sample_answer(annotation, rng)
         if self.text_processor is not None:
             answer = self.text_processor(answer)
+            # the reference also runs the QUESTION through the text
+            # processor before templating (ref vqav2_dataset.py:96), so
+            # train prompts carry the lowercased/stripped question
+            question = self.text_processor(question)
         template = INSTRUCTION_TEMPLATES[
             int(rng.integers(len(INSTRUCTION_TEMPLATES)))
         ]
@@ -275,11 +282,7 @@ class CCSbuAlignDataset(BaseDataset):
             vis_paths=vis_paths,
             split=split,
         )
-        anns: List[dict] = []
-        for path in annotation_paths:
-            with open(path, "r") as handle:
-                anns.extend(json.load(handle).get("annotations", []))
-        self.annotations = anns
+        self.annotations = _load_json_list(annotation_paths, "annotations")
         self.seed = seed
         self.epoch = 0
         from certifiedgpt_tpu.models.model_zoo import load_prompt_pool
@@ -302,9 +305,12 @@ class CCSbuAlignDataset(BaseDataset):
             os.path.join(self.vis_paths, f"{ann['image_id']}.jpg")
         ).convert("RGB")
         image = self.vis_processor(image)
+        # the caption is the RAW annotation text: the reference's CC-SBU
+        # dataset never routes it through a text processor (ref
+        # cc_sbu_align_dataset.py:48-52) — blip_caption's lowercase/
+        # strip/50-word truncation would materially change the long
+        # multi-sentence alignment targets
         caption = ann["caption"]
-        if self.text_processor is not None:
-            caption = self.text_processor(caption)
         # thread-safe deterministic per-(seed, epoch, index) draw, same
         # pattern as VQAv2Dataset._item_rng
         rng = np.random.default_rng(

@@ -112,5 +112,9 @@ class BlipCaptionProcessor(BaseProcessor):
     def from_config(cls, cfg=None):
         cfg = cfg or {}
         return cls(
-            prompt=cfg.get("prompt", ""), max_words=cfg.get("max_words", 50)
+            # NOTE the reference's asymmetry, preserved: __init__ defaults
+            # max_words=50 but the registry/from_config path — the one
+            # every YAML-built processor takes — defaults to 100
+            # (ref blip_processors.py:74,87)
+            prompt=cfg.get("prompt", ""), max_words=cfg.get("max_words", 100)
         )

@@ -284,3 +284,21 @@ def test_multiturn_oversized_first_turn_keeps_span_and_answer_in_bounds():
     assert p + 4 + 2 <= 24
     assert np.all(batch["input_ids"][0, p : p + 4] == tok.pad_token_id)
     assert np.all(batch["labels"][0, p : p + 4] == IGNORE_INDEX)
+
+
+def test_sample_answer_all_zero_confidence_falls_back_uniform():
+    """Answers whose confidences are all 'no' create zero-weight entries;
+    normalization must not produce NaN probabilities (rng.choice would
+    raise and kill the epoch) — the uniform fallback applies."""
+    from certifiedgpt_tpu.data.datasets import VQAv2Dataset
+
+    ds = VQAv2Dataset.__new__(VQAv2Dataset)  # no file IO needed
+    ann = {
+        "question_id": 1,
+        "answers": [
+            {"answer": "cat", "answer_confidence": "no"},
+            {"answer": "dog", "answer_confidence": "no"},
+        ],
+    }
+    out = ds.sample_answer(ann, np.random.default_rng(0))
+    assert out in ("cat", "dog")
