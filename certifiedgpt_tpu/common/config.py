@@ -168,17 +168,21 @@ class Config:
 
         registry.register("configuration", self)
 
+    # ``or ConfigNode()``: a YAML block that is PRESENT but empty
+    # ("run:" with every key commented out) loads as None — the
+    # key-missing default alone would hand callers a None and crash the
+    # launcher on run.get(...)
     @property
     def datasets(self) -> ConfigNode:
-        return self.config.get("datasets", ConfigNode())
+        return self.config.get("datasets", None) or ConfigNode()
 
     @property
     def run(self) -> ConfigNode:
-        return self.config.get("run", ConfigNode())
+        return self.config.get("run", None) or ConfigNode()
 
     @property
     def model(self) -> ConfigNode:
-        return self.config.get("model", ConfigNode())
+        return self.config.get("model", None) or ConfigNode()
 
     @property
     def arch(self) -> str:

@@ -166,8 +166,15 @@ def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.nda
         from certifiedgpt_tpu.ops.flash_attention import flash_attention
 
         attn = flash_attention(q, k, v)
-    else:
+    elif cfg.attn_impl == "xla":
         attn = multi_head_attention(q, k, v)
+    else:
+        # a typo ("Flash", "flash-custom") must not silently fall back
+        # to the slow path and eat the measured 2.2x attention win
+        raise ValueError(
+            f"unknown attn_impl {cfg.attn_impl!r}: "
+            "use 'xla', 'flash' or 'flash_custom'"
+        )
     x = x + L.dense(lp["proj"], attn.reshape(b, s, d), act_quant=aq)
 
     hidden = L.layer_norm(lp["norm2"], x, cfg.layer_norm_eps)

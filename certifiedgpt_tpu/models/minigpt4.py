@@ -100,10 +100,14 @@ class MiniGPT4Config:
         return self.qformer.num_query_tokens
 
 
-def init_minigpt4(key, cfg: MiniGPT4Config) -> Dict[str, Any]:
+def init_minigpt4(key, cfg: MiniGPT4Config, skip: tuple = ()) -> Dict[str, Any]:
+    """Random-init the model pytree. ``skip`` names top-level subtrees to
+    OMIT ("vit"/"llama"): a caller about to overwrite a tower with
+    converted checkpoint weights must not pay the random init first —
+    at full scale that is ~16 GB of bf16 trunc_normal briefly coexisting
+    with the converted weights on a 16 GB chip."""
     k_vit, k_q, k_l, k_proj = jax.random.split(key, 4)
-    return {
-        "vit": init_eva_vit(k_vit, cfg.vit),
+    out = {
         "ln_vision": L.init_layer_norm(cfg.vit.embed_dim, cfg.vit.dtype),
         "qformer": init_qformer(k_q, cfg.qformer),
         # the projection trains, keep it fp32 (optimizer-friendly); it is
@@ -111,8 +115,12 @@ def init_minigpt4(key, cfg: MiniGPT4Config) -> Dict[str, Any]:
         "llama_proj": L.init_dense(
             k_proj, cfg.qformer.hidden_size, cfg.llama.hidden_size, dtype=jnp.float32
         ),
-        "llama": init_llama(k_l, cfg.llama),
     }
+    if "vit" not in skip:
+        out["vit"] = init_eva_vit(k_vit, cfg.vit)
+    if "llama" not in skip:
+        out["llama"] = init_llama(k_l, cfg.llama)
+    return out
 
 
 TRAINABLE_DEFAULT = ("llama_proj",)

@@ -187,10 +187,23 @@ class MiniGPT4Model:
                 ),
             )
 
-        params = init_minigpt4(jax.random.PRNGKey(seed), cfg)
-
+        # resolve the big-tower checkpoints BEFORE init so the towers
+        # being loaded are never randomly initialized first (a full-size
+        # random LLaMA+ViT is ~16 GB of bf16 that would briefly coexist
+        # with the converted weights and waste minutes of trunc_normal)
         llama_path = model_cfg.get("llama_model")
-        if llama_path and os.path.exists(str(llama_path)):
+        load_llama = bool(llama_path and os.path.exists(str(llama_path)))
+        vit_path = _resolve(
+            model_cfg.get("eva_vit_g_pth") or model_cfg.get("vit_ckpt")
+        )
+        skip = tuple(
+            name
+            for name, loading in (("llama", load_llama), ("vit", bool(vit_path)))
+            if loading
+        )
+        params = init_minigpt4(jax.random.PRNGKey(seed), cfg, skip=skip)
+
+        if load_llama:
             logger.info("Loading LLaMA weights from %s", llama_path)
             params["llama"] = cls._load_llama(str(llama_path), cfg.llama)
             tokenizer = HFTokenizer(str(llama_path))
@@ -201,9 +214,6 @@ class MiniGPT4Model:
                 )
             tokenizer = ByteTokenizer()
 
-        vit_path = _resolve(
-            model_cfg.get("eva_vit_g_pth") or model_cfg.get("vit_ckpt")
-        )
         if vit_path:
             logger.info("Loading EVA ViT weights from %s", vit_path)
             params["vit"] = convert_eva_vit_state_dict(
@@ -247,11 +257,12 @@ class MiniGPT4Model:
             params["llama"] = quantize_llama(params["llama"])
 
         if model_cfg.get("quantize_vit", False):
-            # int8 qkv/proj/fc1 vision kernels; combined with act_quant
-            # the ViT matmuls run on the MXU int8 path (docs/DESIGN.md)
+            # int8 qkv/proj/fc1/fc2 vision kernels; combined with
+            # act_quant the ViT matmuls run on the MXU int8 path
+            # (docs/DESIGN.md)
             from certifiedgpt_tpu.ops.quantization import quantize_eva_vit
 
-            logger.info("Quantizing ViT qkv/proj/fc1 kernels to int8")
+            logger.info("Quantizing ViT qkv/proj/fc1/fc2 kernels to int8")
             params["vit"] = quantize_eva_vit(params["vit"])
 
         prompt_list = load_prompt_pool(

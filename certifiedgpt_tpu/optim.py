@@ -167,7 +167,15 @@ def make_optimizer(
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     if stateful_lr:
         init_lr = float(schedule(0))
-        adamw = optax.inject_hyperparams(optax.adamw)(
+        # static_args is REQUIRED: inject_hyperparams treats every
+        # callable kwarg as a schedule-of-step-count, so without it the
+        # weight_decay_mask would be called with the scalar step and
+        # collapse to a scalar False mask — silently disabling weight
+        # decay for every reduce_lr_on_plateau run (verified: kernel
+        # decay update becomes -0.0)
+        adamw = optax.inject_hyperparams(
+            optax.adamw, static_args=("mask",)
+        )(
             learning_rate=init_lr,
             b1=beta1,
             b2=beta2,

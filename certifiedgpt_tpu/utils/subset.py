@@ -48,23 +48,31 @@ def stratified_subsets(
     subsets: List[List[dict]] = [[] for _ in range(num_subsets)]
     cursors = {t: 0 for t in by_type}
     for s in range(num_subsets):
-        remaining = subset_size
-        # proportional allocation with largest-remainder rounding
+        # proportional allocation with largest-remainder rounding,
+        # computed from the REMAINING pools (not the full-set fractions):
+        # full-set fractions keep bumping the same small types every
+        # round until their pools exhaust, leaving later subsets short of
+        # subset_size with no error
+        avail = {t: len(anns) - cursors[t] for t, anns in by_type.items()}
+        avail_total = sum(avail.values())
         fracs = {
-            t: len(anns) / total * subset_size for t, anns in by_type.items()
+            t: a / avail_total * subset_size for t, a in avail.items()
         }
-        counts = {t: int(f) for t, f in fracs.items()}
-        leftover = remaining - sum(counts.values())
+        counts = {t: min(int(f), avail[t]) for t, f in fracs.items()}
+        leftover = subset_size - sum(counts.values())
         for t in sorted(fracs, key=lambda t: fracs[t] - counts[t], reverse=True):
             if leftover <= 0:
                 break
-            counts[t] += 1
-            leftover -= 1
+            extra = min(leftover, avail[t] - counts[t])
+            counts[t] += extra
+            leftover -= extra
+        assert leftover == 0  # guaranteed by the need<=total check
         for t, count in counts.items():
             start = cursors[t]
             take = by_type[t][start : start + count]
             subsets[s].extend(take)
             cursors[t] = start + len(take)
+        assert len(subsets[s]) == subset_size
     return subsets
 
 

@@ -57,9 +57,10 @@ def main(argv=None):
     run = config.run
     # mode picks the agent unless the config explicitly names one
     if not run.get("agent"):
-        config.config._data.setdefault("run", {})["agent"] = MODE_DEFAULT_AGENTS[
-            args.mode
-        ]
+        # an explicitly empty "run:" block loads as None — normalize
+        if config.config._data.get("run") is None:
+            config.config._data["run"] = {}
+        config.config._data["run"]["agent"] = MODE_DEFAULT_AGENTS[args.mode]
 
     output_dir = str(run.get("output_dir", "output"))
     logger = setup_logger(output_dir)
@@ -73,15 +74,23 @@ def main(argv=None):
     if run.get("distributed", False):
         import jax
 
-        if jax.process_count() == 1:
-            try:
-                jax.distributed.initialize()
-                logger.info(
-                    "jax.distributed initialized: process %d/%d",
-                    jax.process_index(), jax.process_count(),
-                )
-            except Exception as exc:
-                logger.warning("jax.distributed.initialize failed: %s", exc)
+        # NOTE: initialize() must be the FIRST jax call of the process —
+        # even jax.process_count() initializes the XLA backend, after
+        # which initialize() always raises (verified), so there is no
+        # "check first" form of this guard. Nothing above this point
+        # touches jax (config/logger/seeds are jax-free).
+        try:
+            jax.distributed.initialize()
+            logger.info(
+                "jax.distributed initialized: process %d/%d",
+                jax.process_index(), jax.process_count(),
+            )
+        except Exception as exc:
+            logger.warning(
+                "jax.distributed.initialize failed (%s); continuing as a "
+                "single-process run — multi-host configs MUST fix this "
+                "or every host will race as its own rank 0", exc
+            )
 
     logger.info("mode=%s agent=%s", args.mode, config.run.get("agent"))
     agent = setup_agent(config)

@@ -82,3 +82,22 @@ def test_compute_mean_std(tmp_path):
     mean, std = compute_mean_std(str(tmp_path), image_size=16)
     np.testing.assert_allclose(mean, [64 / 255, 128 / 255, 192 / 255], atol=1e-2)
     np.testing.assert_allclose(std, [0, 0, 0], atol=1e-2)
+
+
+def test_stratified_subsets_exact_size_with_skewed_types():
+    """Allocation must come from the REMAINING pools: full-set-fraction
+    rounding bumps the same scarce type every round until its pool runs
+    dry and later subsets silently come up short."""
+    from certifiedgpt_tpu.utils.subset import stratified_subsets
+
+    annotations = [
+        {"question_type": "A", "question_id": i} for i in range(3)
+    ] + [
+        {"question_type": "B", "question_id": 100 + i} for i in range(97)
+    ]
+    subsets = stratified_subsets(
+        annotations, subset_size=50, num_subsets=2, seed=0
+    )
+    assert [len(s) for s in subsets] == [50, 50]
+    ids = [a["question_id"] for s in subsets for a in s]
+    assert len(set(ids)) == 100  # disjoint and exhaustive
