@@ -7,7 +7,7 @@ reference-scale pipeline on one chip: EVA ViT-g/14 at 448px (39 layers,
 ~1.0B), 12-layer Q-Former, Vicuna-7B-architecture decoder, on-device
 Gaussian noise -> encode -> greedy KV-cache decode -> host answer->label
 mapping -> Clopper-Pearson certification. By default the towers serve in
-the W8A8 mode (int8 decoder + int8 ViT qkv/proj/fc1 kernels, dynamic
+the W8A8 mode (int8 decoder + int8 ViT qkv/proj/fc1/fc2 kernels, dynamic
 per-row int8 activations on compute-bound calls — ops/quantization.py);
 ``--no-act-quant`` reverts to bf16 activations over the weight-only int8
 decoder. Weights are seeded-random at the checkpoint shapes (real
@@ -217,7 +217,7 @@ def main(argv=None):
     else:
         # full reference scale; the vision tower uses the builtin flash
         # kernel (full-sequence blocks — see ops/flash_attention) and,
-        # by default, the W8A8 serving mode: int8 qkv/proj/fc1 ViT
+        # by default, the W8A8 serving mode: int8 qkv/proj/fc1/fc2 ViT
         # kernels + int8 decoder kernels with dynamic per-row activation
         # quant on compute-bound (multi-token) calls — the MXU's
         # double-rate int8 path (ops/quantization.py; docs/DESIGN.md).

@@ -166,6 +166,12 @@ class BaseAgent:
         raise NotImplementedError
 
     def finalize(self) -> None:
+        # a profiler trace whose duration window outlives the run would
+        # otherwise never be stopped (its stop timer is a daemon thread
+        # that dies at interpreter exit) and the profile data is lost
+        profiler = getattr(self, "profiler", None)
+        if profiler is not None:
+            profiler.stop()
         self.save_history()
 
 

@@ -26,9 +26,15 @@ def setup_logger(
     logger = logging.getLogger(name)
     logger.setLevel(level)
     logger.propagate = False
-    # Re-running setup (tests, notebooks) must not stack handlers.
+    # Re-running setup (tests, notebooks) must not stack handlers —
+    # and must close the old ones (a FileHandler holds certified.log
+    # open; dropping it unreferenced leaks the fd)
     for handler in list(logger.handlers):
         logger.removeHandler(handler)
+        try:
+            handler.close()
+        except Exception:
+            pass
 
     formatter = logging.Formatter(
         "%(asctime)s [%(levelname)s] %(name)s: %(message)s"

@@ -131,8 +131,23 @@ class Chat:
         self.image: Optional[np.ndarray] = None
 
     def upload_img(self, image) -> None:
+        if self.image is not None:
+            # the single-image pipeline splits the prompt on the FIRST
+            # <ImageHere> only (data/text.py::_split_instruction) — a
+            # second placeholder turn would silently put the new image in
+            # the old turn's slot and feed the new marker as literal text
+            raise RuntimeError(
+                "a conversation holds one image; call reset() to start a "
+                "new one"
+            )
         self.image = np.asarray(self.vis_processor(image), np.float32)
         self.conv.append_message(self.conv.roles[0], "<Img><ImageHere></Img>")
+
+    def reset(self) -> None:
+        """Start a fresh conversation (new image allowed)."""
+        self.conv = self.conv.copy()
+        self.conv.messages = []
+        self.image = None
 
     def ask(self, text: str) -> None:
         if (
@@ -246,14 +261,25 @@ class Chat:
         )
         token = int(jnp.argmax(logits[0, -1]))
         eos = self.model.tokenizer.eos_token_id
-        pieces = []
+        ids: list = []
+        emitted = ""
+        self.conv.messages[-1][1] = ""  # immediate-EOS answers are empty
         next_pos = int(jnp.sum(mask))
         for t in range(max_new_tokens):
             if token == eos:
                 break
-            piece = self.model.tokenizer.decode([token], skip_special_tokens=True)
-            pieces.append(piece)
+            # decode the GROWING id list and yield the delta: decoding
+            # each id in isolation drops SentencePiece leading-space
+            # markers ("▁a ▁red ▁car" would stream as "aredcar"), and
+            # updating history inside the loop keeps the turn correct
+            # even if the consumer stops iterating early
+            ids.append(token)
+            text = self.model.tokenizer.decode(ids, skip_special_tokens=True)
+            piece, emitted = text[len(emitted):], text
+            self.conv.messages[-1][1] = text.strip()
             yield piece
+            if t == max_new_tokens - 1:
+                break  # budget spent — don't pay a decode step we discard
             tok_embed = embed_tokens(params["llama"], jnp.asarray([[token]]))
             logits, _, cache = llama_apply(
                 params["llama"], cfg.llama, tok_embed, cache_mask,
@@ -261,4 +287,3 @@ class Chat:
                 kv_cache=cache, cache_offset=jnp.int32(s + t),
             )
             token = int(jnp.argmax(logits[0, -1]))
-        self.conv.messages[-1][1] = "".join(pieces).strip()
