@@ -35,6 +35,13 @@ from scipy.stats import beta as beta_dist
 
 ABSTAIN = -1
 
+# certify() draws two independent streams (selection, estimation). The
+# agents seed consecutive questions as seed+idx, so a small "+1" for the
+# estimation stream would be bit-identical to the NEXT question's
+# selection stream; a large stride keeps the streams disjoint for any
+# realistic dataset size.
+_ESTIMATION_SEED_OFFSET = 1 << 20
+
 
 def clopper_pearson_lower(k: int, n: int, alpha: float) -> float:
     """One-sided lower confidence bound for a binomial proportion.
@@ -104,6 +111,15 @@ class Smooth:
     # ------------------------------------------------------------------
     def _counts(self, x, num: int, seed: int) -> np.ndarray:
         labels = np.asarray(self.sample_fn(x, num, seed))
+        if labels.size and labels.max() >= self.num_classes:
+            # a label outside the declared set means the vocab/mapping is
+            # broken; silently bincounting past num_classes would let
+            # certify return a "certified" class that does not exist in
+            # the fixed label set Cohen's guarantee requires
+            raise ValueError(
+                f"sample_fn returned label {int(labels.max())} >= "
+                f"num_classes {self.num_classes}"
+            )
         counts = np.bincount(
             labels[labels >= 0], minlength=self.num_classes
         ).astype(np.int64)
@@ -128,7 +144,7 @@ class Smooth:
             return ABSTAIN, 0.0
         counts0 = self._counts(x, n0, seed)
         c_a = int(np.argmax(counts0))
-        counts = self._counts(x, n, seed + 1)
+        counts = self._counts(x, n, seed + _ESTIMATION_SEED_OFFSET)
         n_a = int(counts[c_a])
         p_a_bar = clopper_pearson_lower(n_a, n, alpha)
         if p_a_bar < 0.5:
@@ -139,11 +155,12 @@ class Smooth:
     def predict(self, x, n: int, alpha: float, seed: int = 0) -> int:
         """Top class of n draws, abstain unless the top-2 split is
         significant at level alpha (ref ``smoothing.py:58-79``)."""
-        counts = self._counts(x, n, seed)
         if self.num_classes < 2:
             # degenerate single-class label set: the two-sided test is
-            # meaningless; abstain rather than certify vacuously
+            # meaningless; abstain BEFORE paying the n-draw Monte-Carlo
+            # pass (certify guards the same way)
             return ABSTAIN
+        counts = self._counts(x, n, seed)
         top2 = counts.argsort()[::-1][:2]
         c_a, c_b = int(top2[0]), int(top2[1])
         n_a, n_b = int(counts[c_a]), int(counts[c_b])

@@ -52,21 +52,26 @@ class VQA:
         ques_types: Optional[Iterable[str]] = None,
         ans_types: Optional[Iterable[str]] = None,
     ) -> List[int]:
+        # official semantics (ref common/vqa_tools/vqa.py:80-113): an
+        # EMPTY filter list means "no filter", same as None — callers
+        # ported from the reference pass [] as the default
         anns = list(self.qa.values())
-        if img_ids is not None:
+        if img_ids:
             img_ids = set(img_ids)
             anns = [a for a in anns if a["image_id"] in img_ids]
-        if ques_types is not None:
+        if ques_types:
             ques_types = set(ques_types)
             anns = [a for a in anns if a.get("question_type") in ques_types]
-        if ans_types is not None:
+        if ans_types:
             ans_types = set(ans_types)
             anns = [a for a in anns if a.get("answer_type") in ans_types]
         return [a["question_id"] for a in anns]
 
     def get_img_ids(self, ques_ids: Optional[Iterable[int]] = None) -> List[int]:
-        if ques_ids is None:
-            return list(self.img_to_qa.keys())
+        # official semantics: no/empty filter returns one image_id PER
+        # ANNOTATION (duplicates preserved), not the deduped key set
+        if not ques_ids:
+            return [a["image_id"] for a in self.qa.values()]
         return [self.qa[q]["image_id"] for q in ques_ids if q in self.qa]
 
     def load_qa(self, ques_id: int) -> dict:
@@ -87,6 +92,9 @@ class VQA:
         preds = (
             self._load(predictions) if isinstance(predictions, str) else predictions
         )
+        questions = (
+            self._load(question_file) if question_file else self.questions
+        )
         if isinstance(preds, dict):
             preds = preds.get("annotations", preds.get("results", []))
         pred_ids = {p["question_id"] for p in preds}
@@ -99,7 +107,7 @@ class VQA:
                 f"(missing {len(missing)}, unexpected {len(extra)})"
             )
         res = VQA()
-        res.questions = self.questions
+        res.questions = questions
         annotations = []
         for p in preds:
             ann = copy.deepcopy(self.qa[p["question_id"]])

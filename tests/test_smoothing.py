@@ -84,7 +84,15 @@ def test_smooth_certify_confident():
     assert label == 0
     assert 0 < radius < 0.5 * norm.ppf(0.999)
     # radius consistent with the formula on the realized counts
-    counts = np.bincount(_FakeSampler(0.95)(None, 1000, 2), minlength=2)
+    from certifiedgpt_tpu.smoothing.smoothing import _ESTIMATION_SEED_OFFSET
+
+    # the estimation stream is seed + a large stride (a small +1 would
+    # collide bit-for-bit with the NEXT question's selection stream under
+    # the agents' seed-per-index convention)
+    counts = np.bincount(
+        _FakeSampler(0.95)(None, 1000, 1 + _ESTIMATION_SEED_OFFSET),
+        minlength=2,
+    )
     p_bar = clopper_pearson_lower(int(counts[0]), 1000, 0.001)
     np.testing.assert_allclose(radius, 0.5 * norm.ppf(p_bar), atol=1e-9)
 
