@@ -166,3 +166,15 @@ def test_certify_abstains_on_degenerate_single_class_vocab():
     label, radius = smooth.certify(None, n0=4, n=16, alpha=0.05)
     assert label == ABSTAIN and radius == 0.0
     assert smooth.predict(None, n=16, alpha=0.05) == ABSTAIN
+
+
+def test_counts_rejects_out_of_range_labels():
+    """A label >= num_classes means the vocab/label mapping is broken;
+    certify must raise rather than 'certify' a class outside the fixed
+    label set Cohen's guarantee requires."""
+    import pytest as _pytest
+
+    bad = Smooth(lambda x, num, seed: np.full((num,), 5), num_classes=3,
+                 sigma=0.5)
+    with _pytest.raises(ValueError, match="num_classes"):
+        bad.certify(None, n0=4, n=8, alpha=0.05)
