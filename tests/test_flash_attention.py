@@ -91,3 +91,37 @@ def test_builtin_flash_cpu_fallback_matches_xla():
         np.asarray(multi_head_attention(q, k, v)),
         atol=1e-6,
     )
+
+
+def test_vit_flash_headpadded_qkv_matches_xla_path():
+    """The flash path computes qkv via the head-padded fused einsum
+    (matmul emits the [B,H,S,Dp] kernel layout directly); its tower
+    output must equal the plain xla-path tower — same algebra, zero
+    lanes contribute nothing."""
+    import dataclasses
+
+    import numpy as np
+
+    from certifiedgpt_tpu.models.eva_vit import (
+        EvaViTConfig,
+        eva_vit_apply,
+        init_eva_vit,
+    )
+
+    base = EvaViTConfig.tiny()
+    params = init_eva_vit(jax.random.PRNGKey(3), base)
+    # non-trivial biases so the padded-layout bias add is exercised
+    params["layers"]["q_bias"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(4), params["layers"]["q_bias"].shape
+    )
+    params["layers"]["v_bias"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(5), params["layers"]["v_bias"].shape
+    )
+    imgs = jax.random.normal(
+        jax.random.PRNGKey(6), (2, base.img_size, base.img_size, 3)
+    )
+    ref = eva_vit_apply(params, dataclasses.replace(base, attn_impl="xla"), imgs)
+    out = eva_vit_apply(params, dataclasses.replace(base, attn_impl="flash"), imgs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
