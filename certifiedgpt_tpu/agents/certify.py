@@ -36,6 +36,27 @@ from certifiedgpt_tpu.smoothing.smoothing import ABSTAIN, Smooth
 from certifiedgpt_tpu.vqa_tools.vqa_eval import VQAEval
 
 
+def certify_seed(base_seed: int, index: int, sigma: float) -> int:
+    """Per-image RNG seed with sigma folded in.
+
+    In a ``run.sigma_grid`` sweep, seeding image *i* with ``seed + i``
+    for every sigma would make the sigma=0.25 and sigma=0.5 certificates
+    of one image consume IDENTICAL uniform draws scaled differently —
+    each certificate stays individually valid (the guarantee conditions
+    only on the per-sigma noise distribution, which is correct), but the
+    sweep's rows would be correlated estimates. Folding sigma's bit
+    pattern through a 64-bit finalizer makes every (image, sigma) cell
+    an independent stream (docs/DESIGN.md §4).
+    """
+    sigma_bits = int(np.float64(sigma).view(np.uint64))
+    h = (base_seed * 0x9E3779B97F4A7C15 + index) & 0xFFFFFFFFFFFFFFFF
+    h ^= sigma_bits
+    # splitmix64 finalizer
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return int((h ^ (h >> 31)) & 0x7FFFFFFF)
+
+
 class SmoothedVQAAgentBase(BaseAgent):
     """Shared plumbing for certify / smoothing_predict."""
 
@@ -236,7 +257,7 @@ class CertifyAgent(SmoothedVQAAgentBase):
                 t0 = time.time()
                 label, radius = smooth.certify(
                     item["image"], self.n0, self.n, self.alpha,
-                    seed=self.seed + idx,
+                    seed=certify_seed(self.seed, idx, self.sigma),
                 )
                 dt = time.time() - t0
                 text = vocab.text_of(label) if label != ABSTAIN else "<abstain>"
@@ -323,7 +344,8 @@ class PredictAgent(SmoothedVQAAgentBase):
                 self.profiler.maybe_start(0, idx)
                 t0 = time.time()
                 label = smooth.predict(
-                    item["image"], self.n, self.alpha, seed=self.seed + idx
+                    item["image"], self.n, self.alpha,
+                    seed=certify_seed(self.seed, idx, self.sigma),
                 )
                 dt = time.time() - t0
                 text = vocab.text_of(label) if label != ABSTAIN else "<abstain>"

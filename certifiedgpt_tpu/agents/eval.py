@@ -51,6 +51,17 @@ def maybe_bertscore(predictions, references, logger):
         return None
 
 
+def split_noise_sample_keys(rng):
+    """Disjoint (noise, sampling) streams for one eval step.
+
+    The per-step folded key feeds two consumers — the input-noise draw
+    and the decoder's sampling path; JAX keys are single-use by
+    contract, so both must derive from a split, never the raw key.
+    """
+    noise_rng, sample_rng = jax.random.split(rng)
+    return noise_rng, sample_rng
+
+
 def token_f1(prediction: str, reference: str) -> float:
     """Token-level F1 (ref ``minigpt4_eval_agent.py:129-149``)."""
     pred = normalize_answer(prediction).split()
@@ -157,8 +168,12 @@ class EvalAgent(BaseAgent):
 
         def gen(params, batch, rng):
             batch = dict(batch)
-            batch["image"] = noise_fn(batch["image"], rng)
-            return decode_fn(params, batch, rng)
+            # JAX keys are single-use: the smoothing-noise draw and the
+            # token-sampling path must consume DISJOINT streams (feeding
+            # one key to both correlates the noise with do_sample draws)
+            noise_rng, sample_rng = split_noise_sample_keys(rng)
+            batch["image"] = noise_fn(batch["image"], noise_rng)
+            return decode_fn(params, batch, sample_rng)
 
         return gen
 

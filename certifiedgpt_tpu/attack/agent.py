@@ -387,19 +387,33 @@ class AttackAgent(BaseAgent):
         eos = self.model.tokenizer.eos_token_id
         pad = self.model.tokenizer.pad_token_id
         max_new = self.max_new_tokens
-        sigma, dist = self.noise_level, "gaussian"
 
+        # sigma is a RUNTIME scalar (like the certify pipeline,
+        # smoothing/classifier.py): one compiled victim serves every row
+        # of a run.sigma_grid sweep instead of re-paying the full-scale
+        # generate compile per noise level. sigma=0 adds 0*noise — the
+        # draw is negligible next to the decode.
         @jax.jit
-        def gen(params, batch, rng):
+        def gen(params, batch, rng, sigma):
             batch = dict(batch)
-            batch["image"] = add_input_noise(rng, batch["image"], sigma, dist)
+            noise = jax.random.normal(
+                rng, batch["image"].shape, batch["image"].dtype
+            )
+            batch["image"] = batch["image"] + sigma * noise
             return generate_greedy(params, cfg, batch, max_new, eos, pad)
 
         return gen
 
     # ------------------------------------------------------------------
-    def caption(self, pixels: np.ndarray, instruction: str, step: int) -> str:
-        """Victim caption of a [0,1]-pixel image (CLIP-normalized inside)."""
+    def caption(
+        self, pixels: np.ndarray, instruction: str, step: int,
+        sigma: Optional[float] = None,
+    ) -> str:
+        """Victim caption of a [0,1]-pixel image (CLIP-normalized inside);
+        ``sigma`` is the victim-side smoothing level (defaults to
+        ``run.noise_level``)."""
+        if sigma is None:
+            sigma = self.noise_level
         mean = np.asarray(CLIP_MEAN, np.float32)
         std = np.asarray(CLIP_STD, np.float32)
         size = self.model.cfg.vit.img_size
@@ -411,9 +425,15 @@ class AttackAgent(BaseAgent):
         prompt = build_gen_batch(self.model.tokenizer, [instruction], spec)
         batch = shard_batch(prompt, None)
         batch["image"] = img[None]
+        # fold sigma's bit pattern into the key so grid rows draw
+        # independent smoothing noise (same rationale as certify_seed)
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + step),
+            int(np.float32(sigma).view(np.uint32)) & 0x7FFFFFFF,
+        )
         tokens = np.asarray(
             self._victim_generate(
-                self.model.params, batch, jax.random.PRNGKey(self.seed + step)
+                self.model.params, batch, rng, jnp.float32(sigma)
             )
         )[0]
         ids = [int(t) for t in tokens]
@@ -460,6 +480,15 @@ class AttackAgent(BaseAgent):
             for enc in self.encoders
         }
 
+        # noise grid (ref README.md:108-120 evaluates every backbone at
+        # sigma in {0, 0.25, 0.5, 1.0}); without run.sigma_grid the run
+        # is the single configured noise_level, as before
+        sigma_grid = self.run_cfg.get("sigma_grid")
+        sigmas = (
+            [float(s) for s in sigma_grid] if sigma_grid
+            else [self.noise_level]
+        )
+
         rows: List[Dict[str, Any]] = []
         results_path = os.path.join(self.output_dir, "attack_results.jsonl")
         with open(results_path, "w") as sink:
@@ -469,31 +498,47 @@ class AttackAgent(BaseAgent):
                 target_text = self._target_text(target_item)
                 pixels = to_pixels(item)
                 target_pixels = to_pixels(target_item)
-
-                # the clean caption is backbone-independent: compute once
                 instruction = item.get(
                     "instruction_input",
                     "<Img><ImageHere></Img> Describe this image.",
                 )
-                clean_cap = self.caption(pixels, instruction, idx * 2)
 
-                for enc in self.encoders:
-                    adv = self._attack_one(
-                        attacks[enc.name], pixels, target_pixels,
-                        target_text, enc, idx, instruction,
+                # the PGD transfer stage only sees the surrogate — craft
+                # ONCE per backbone and reuse across the sigma grid; the
+                # RGF query stage talks to the sigma-smoothed victim, so
+                # it refines per sigma inside the loop below
+                transfer_adv = {
+                    enc.name: self._transfer_attack(
+                        attacks[enc.name], pixels, target_pixels, enc
                     )
-                    row = self._score(
-                        idx, item, enc.name, pixels, adv, target_text,
-                        clean_cap, instruction,
+                    for enc in self.encoders
+                }
+
+                for s_idx, sigma in enumerate(sigmas):
+                    # the clean caption is backbone-independent
+                    clean_cap = self.caption(
+                        pixels, instruction, idx * 2, sigma
                     )
-                    rows.append(row)
-                    sink.write(json.dumps(row) + "\n")
-                    sink.flush()
-                    self.logger.info(
-                        "attack[%d] backbone=%s success=%s d_sim=%.4f",
-                        idx, enc.name, row["success"],
-                        row["adv_similarity"] - row["clean_similarity"],
-                    )
+                    for enc in self.encoders:
+                        adv = transfer_adv[enc.name]
+                        if self.rgf_queries > 0:
+                            adv = self._rgf_stage(
+                                adv, pixels, target_text, enc,
+                                idx * len(sigmas) + s_idx, instruction, sigma,
+                            )
+                        row = self._score(
+                            idx, item, enc.name, pixels, adv, target_text,
+                            clean_cap, instruction, sigma,
+                        )
+                        rows.append(row)
+                        sink.write(json.dumps(row) + "\n")
+                        sink.flush()
+                        self.logger.info(
+                            "attack[%d] sigma=%s backbone=%s success=%s "
+                            "d_sim=%.4f",
+                            idx, sigma, enc.name, row["success"],
+                            row["adv_similarity"] - row["clean_similarity"],
+                        )
 
         summary = self._summarize(rows)
         with open(
@@ -520,51 +565,55 @@ class AttackAgent(BaseAgent):
             return item["gt_answers"][0]
         return item.get("answer", "a photo")
 
-    def _attack_one(
-        self, attack, pixels, target_pixels, target_text, enc, idx,
-        instruction,
+    def _transfer_attack(
+        self, attack, pixels, target_pixels, enc
     ) -> np.ndarray:
         """Transfer stage: PGD toward the *target image's* surrogate
-        embedding (the AttackVLM feature-matching objective), then the
-        optional RGF query stage against the victim. ``instruction`` is
-        the SAME prompt `_score` judges with — spending the query budget
-        on captions of a different prompt would optimize an objective
-        the success metric never sees."""
+        embedding (the AttackVLM feature-matching objective)."""
         x = jnp.asarray(pixels)[None]
         target_embeds = {
             enc.name: self._embed_fns[enc.name](
                 enc.params, jnp.asarray(target_pixels)[None]
             )
         }
-        adv = np.asarray(
+        return np.asarray(
             attack({enc.name: enc.params}, x, target_embeds)
         )[0]
 
-        if self.rgf_queries > 0:
-            text_enc = self.text_encoder
-            target_emb = text_enc([target_text])[0]
-            step_counter = [0]
+    def _rgf_stage(
+        self, adv, pixels, target_text, enc, tag, instruction, sigma,
+    ) -> np.ndarray:
+        """RGF query stage against the sigma-smoothed victim.
+        ``instruction`` is the SAME prompt `_score` judges with —
+        spending the query budget on captions of a different prompt
+        would optimize an objective the success metric never sees."""
+        text_enc = self.text_encoder
+        target_emb = text_enc([target_text])[0]
+        step_counter = [0]
 
-            def victim_score(p):
-                step_counter[0] += 1
-                cap = self.caption(p, instruction, idx * 1000 + step_counter[0])
-                emb = text_enc([cap])[0]
-                return float(np.dot(emb, target_emb))
-
-            adv = rgf_refine(
-                victim_score, adv, pixels,
-                epsilon=self.epsilon,
-                queries=self.rgf_queries,
-                iters=self.rgf_iters,
-                seed=self.seed + idx,
+        def victim_score(p):
+            step_counter[0] += 1
+            cap = self.caption(
+                p, instruction, tag * 1000 + step_counter[0], sigma
             )
-        return adv
+            emb = text_enc([cap])[0]
+            return float(np.dot(emb, target_emb))
+
+        return rgf_refine(
+            victim_score, adv, pixels,
+            epsilon=self.epsilon,
+            queries=self.rgf_queries,
+            iters=self.rgf_iters,
+            seed=self.seed + tag,
+        )
 
     def _score(
         self, idx, item, backbone, pixels, adv, target_text, clean_cap,
-        instruction,
+        instruction, sigma=None,
     ):
-        adv_cap = self.caption(adv, instruction, idx * 2 + 1)
+        if sigma is None:
+            sigma = self.noise_level
+        adv_cap = self.caption(adv, instruction, idx * 2 + 1, sigma)
         embs = self.text_encoder([clean_cap, adv_cap, target_text])
         clean_sim = float(np.dot(embs[0], embs[2]))
         adv_sim = float(np.dot(embs[1], embs[2]))
@@ -572,7 +621,7 @@ class AttackAgent(BaseAgent):
             "index": idx,
             "question_id": int(item.get("question_id", idx)),
             "backbone": backbone,
-            "sigma": self.noise_level,
+            "sigma": float(sigma),
             "target_text": target_text,
             "clean_caption": clean_cap,
             "adv_caption": adv_cap,
@@ -589,9 +638,10 @@ class AttackAgent(BaseAgent):
             sub = [r for r in rows if r["backbone"] == name]
             if sub:
                 per_backbone[name] = sum(r["success"] for r in sub) / len(sub)
+        sigmas = sorted({r["sigma"] for r in rows})
         summary = {
             "total": len(rows),
-            "sigma": self.noise_level,
+            "sigma_grid": sigmas,
             "epsilon": self.epsilon,
             "steps": self.steps,
             "success_rate_per_backbone": per_backbone,
@@ -599,6 +649,23 @@ class AttackAgent(BaseAgent):
                 sum(r["success"] for r in rows) / max(len(rows), 1)
             ),
         }
+        if len(sigmas) > 1:
+            # the reference's headline table: success rate per
+            # (backbone, sigma) cell (ref README.md:108-120)
+            summary["success_rate_grid"] = {
+                name: {
+                    str(s): (
+                        sum(r["success"] for r in cell) / len(cell)
+                        if (cell := [
+                            r for r in rows
+                            if r["backbone"] == name and r["sigma"] == s
+                        ])
+                        else None
+                    )
+                    for s in sigmas
+                }
+                for name in self.backbone_names
+            }
         if len({r["backbone"] for r in rows}) > 1:
             summary["ancova"] = ancova(rows)
         return summary

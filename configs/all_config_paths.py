@@ -19,16 +19,34 @@ TRAIN_CONFIGS = {
 
 EVAL_CONFIGS = {
     "vqav2_eval_noise_0": _p("eval_configs", "vqav2_eval_noise_0.yaml"),
+    "vqav2_eval_noise_0.25": _p("eval_configs", "vqav2_eval_noise_0.25.yaml"),
+    "vqav2_eval_noise_0.5": _p("eval_configs", "vqav2_eval_noise_0.5.yaml"),
+    "vqav2_eval_noise_1.0": _p("eval_configs", "vqav2_eval_noise_1.0.yaml"),
 }
 
 CERTIFY_CONFIGS = {
+    "vqav2_certify_noise_0.25": _p(
+        "certify_configs", "vqav2_certify_noise_0.25.yaml"
+    ),
     "vqav2_certify_noise_0.5": _p(
         "certify_configs", "vqav2_certify_noise_0.5.yaml"
     ),
+    "vqav2_certify_noise_1.0": _p(
+        "certify_configs", "vqav2_certify_noise_1.0.yaml"
+    ),
+    "vqav2_certify_sweep": _p(
+        "certify_configs", "vqav2_certify_sweep.yaml"
+    ),
+}
+
+ATTACK_CONFIGS = {
+    "vqav2_attack": _p("attack_configs", "vqav2_attack.yaml"),
 }
 
 DATASET_CONFIGS = {
     "vqav2": _p("datasets", "vqav2", "defaults_vqa.yaml"),
 }
 
-ALL_CONFIGS = {**TRAIN_CONFIGS, **EVAL_CONFIGS, **CERTIFY_CONFIGS}
+ALL_CONFIGS = {
+    **TRAIN_CONFIGS, **EVAL_CONFIGS, **CERTIFY_CONFIGS, **ATTACK_CONFIGS,
+}

@@ -32,6 +32,11 @@ MODE_DEFAULT_AGENTS = {
     "eval": "image_text_eval",
     "smoothing_predict": "image_text_predict",
     "certify": "image_text_certify",
+    # the attack-evaluation stage is described in the reference README
+    # with no code or mode (ref README.md:62-64,108-120); here it is a
+    # first-class mode with its own shipped config
+    # (configs/attack_configs/vqav2_attack.yaml)
+    "attack": "image_text_attack",
 }
 
 

@@ -305,3 +305,74 @@ def test_certify_compiles_once_per_sigma(eval_setup):
     assert jit_cache_size(gen) == 1, "noisy-generate retraced across images"
     # informational: s/image at tiny scale (compile amortization check)
     print(f"certify mean s/image (tiny): {elapsed / 6:.2f}")
+
+
+def test_certify_seed_folds_sigma():
+    """Sweep rows must be independent draws: the per-image seed folds
+    sigma in, so sigma=0.25 and sigma=0.5 certificates of one image no
+    longer consume identical uniform draws scaled differently (VERDICT
+    r2 weak #6)."""
+    from certifiedgpt_tpu.agents.certify import certify_seed
+
+    s1 = certify_seed(42, 0, 0.25)
+    s2 = certify_seed(42, 0, 0.5)
+    s3 = certify_seed(42, 1, 0.25)
+    assert s1 != s2  # same image, different sigma -> distinct stream
+    assert s1 != s3  # different image -> distinct stream
+    assert s1 == certify_seed(42, 0, 0.25)  # deterministic
+    assert all(0 <= s < 2**31 for s in (s1, s2, s3))
+
+
+def test_sigma_sweep_rows_use_distinct_seeds(eval_setup, monkeypatch):
+    """End-to-end pin of the seed fold: a 2-sigma sweep must hand
+    Smooth.certify a DIFFERENT seed per sigma for the same image."""
+    from certifiedgpt_tpu.agents import certify as certify_mod
+
+    seeds = []
+    orig = certify_mod.Smooth.certify
+
+    def spy(self, x, n0, n, alpha, seed=None):
+        seeds.append(seed)
+        return orig(self, x, n0, n, alpha, seed=seed)
+
+    monkeypatch.setattr(certify_mod.Smooth, "certify", spy)
+    make_cfg, _ = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            certify_n0=4,
+            certify_n=8,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=1,
+            sigma_grid=[0.25, 0.5],
+        )
+    )
+    agent.run()
+    assert len(seeds) == 2
+    assert seeds[0] != seeds[1]
+
+
+def test_eval_noise_and_sampling_keys_disjoint(eval_setup, monkeypatch):
+    """The eval agent's noise draw and do_sample token draws must consume
+    DISJOINT rng streams (JAX keys are single-use — VERDICT r2 weak #4)."""
+    import certifiedgpt_tpu.agents.eval as eval_mod
+
+    calls = []
+    orig = eval_mod.split_noise_sample_keys
+
+    def spy(rng):
+        out = orig(rng)
+        calls.append((np.asarray(rng), tuple(np.asarray(k) for k in out)))
+        return out
+
+    monkeypatch.setattr(eval_mod, "split_noise_sample_keys", spy)
+    make_cfg, _ = eval_setup
+    agent = setup_agent(make_cfg("image_text_eval", do_sample=True))
+    results = agent.run()
+    assert results["num_questions"] == 6
+    assert calls, "eval generate never split its per-step key"
+    rng, (k_noise, k_sample) = calls[0]
+    assert not np.array_equal(k_noise, k_sample)
+    assert not np.array_equal(k_noise, rng)
+    assert not np.array_equal(k_sample, rng)

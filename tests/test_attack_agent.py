@@ -86,3 +86,32 @@ def test_attack_agent_end_to_end(attack_setup):
     # perturbation respects the l-inf budget
     for row in rows:
         assert row["linf"] <= 0.03 + 1e-5
+
+
+def test_attack_agent_sigma_grid(attack_setup):
+    """run.sigma_grid: one transfer attack per (image, backbone), scored
+    at every victim smoothing level — the reference's table shape
+    (ref README.md:108-120) with a sigma-varying ANCOVA."""
+    config, tmp_path = attack_setup
+    config.config._data["run"]["sigma_grid"] = [0.0, 0.5]
+    config.config._data["run"]["attack_backbones"] = ["vit_tiny"]
+    config.config._data["run"]["max_images"] = 2
+    config.config._data["run"]["output_dir"] = str(tmp_path / "out_grid")
+    agent = setup_agent(config)
+    summary = agent.run()
+    assert summary["total"] == 4  # 2 images x 1 backbone x 2 sigmas
+    assert summary["sigma_grid"] == [0.0, 0.5]
+    grid = summary["success_rate_grid"]["vit_tiny"]
+    assert set(grid) == {"0.0", "0.5"}
+    rows = [
+        json.loads(line)
+        for line in (tmp_path / "out_grid" / "attack_results.jsonl")
+        .read_text().splitlines()
+    ]
+    assert sorted({r["sigma"] for r in rows}) == [0.0, 0.5]
+    # the transfer-stage adversarial image is sigma-independent (PGD only
+    # sees the surrogate): identical linf per (image, backbone) cell
+    by_img = {}
+    for r in rows:
+        by_img.setdefault(r["index"], set()).add(round(r["linf"], 7))
+    assert all(len(v) == 1 for v in by_img.values())

@@ -180,3 +180,135 @@ def test_launch_predict_cli(cli_setup):
         (tmp_path / "out_predict" / "predict_summary.json").read_text()
     )
     assert summary["total"] == 1
+
+
+def test_launch_attack_cli(cli_setup):
+    """`launch.py attack` is a first-class mode (ref README.md:108-120
+    describes the attack eval with no code or mode): tiny backbones,
+    2-sigma grid, summary + ANCOVA CSV artifacts."""
+    tmp_path, img_dir = cli_setup
+    cfg = {
+        "model": {"arch": "minigpt4", "model_size": "tiny"},
+        "datasets": {
+            "evalvqav2": {
+                "vis_processor": {
+                    "val": {"name": "blip2_image_val", "image_size": 28}
+                },
+                "build_info": {
+                    "images": {"storage": str(img_dir)},
+                    "questions": {"val": [str(tmp_path / "q.json")]},
+                    "annotations": {"val": [str(tmp_path / "a.json")]},
+                },
+            }
+        },
+        "run": {
+            # no agent key: the CLI mode must route to image_text_attack
+            "attack_backbones": ["vit_tiny", "rn_tiny"],
+            "attack_steps": 2,
+            "attack_epsilon": 0.03,
+            "sigma_grid": [0.0, 0.5],
+            "rgf_queries": 0,
+            "max_images": 1,
+            "max_new_tokens": 3,
+            "seq_len": 48,
+            "output_dir": str(tmp_path / "out_attack_cli"),
+        },
+    }
+    cfg_path = tmp_path / "attack.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    result = _run_cli("attack", cfg_path)
+    assert result.returncode == 0, result.stderr[-2000:]
+    out = tmp_path / "out_attack_cli"
+    summary = json.loads((out / "attack_summary.json").read_text())
+    # 1 image x 2 backbones x 2 sigmas
+    assert summary["total"] == 4
+    assert summary["sigma_grid"] == [0.0, 0.5]
+    assert set(summary["success_rate_grid"]) == {"vit_tiny", "rn_tiny"}
+    assert set(summary["success_rate_grid"]["vit_tiny"]) == {"0.0", "0.5"}
+    assert (out / "attack_ancova.csv").exists()
+    assert (out / "attack_results.jsonl").exists()
+
+
+def test_launch_certify_sweep_cli(cli_setup):
+    """The shipped sigma-sweep capability through the CLI: run.sigma_grid
+    produces per-sigma summaries plus certify_sweep.json (the runnable
+    equivalent of configs/certify_configs/vqav2_certify_sweep.yaml)."""
+    tmp_path, img_dir = cli_setup
+    cfg = {
+        "model": {"arch": "minigpt4", "model_size": "tiny"},
+        "datasets": {
+            "evalvqav2": {
+                "vis_processor": {
+                    "val": {"name": "blip2_image_val", "image_size": 28}
+                },
+                "build_info": {
+                    "images": {"storage": str(img_dir)},
+                    "questions": {"val": [str(tmp_path / "q.json")]},
+                    "annotations": {"val": [str(tmp_path / "a.json")]},
+                },
+            }
+        },
+        "run": {
+            "sigma_grid": [0.25, 0.5],
+            "certify_n0": 4,
+            "certify_n": 8,
+            "certify_alpha": 0.05,
+            "mc_batch": 4,
+            "max_images": 1,
+            "max_new_tokens": 3,
+            "seq_len": 48,
+            "output_dir": str(tmp_path / "out_sweep"),
+        },
+    }
+    cfg_path = tmp_path / "sweep.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    result = _run_cli("certify", cfg_path)
+    assert result.returncode == 0, result.stderr[-2000:]
+    out = tmp_path / "out_sweep"
+    sweep = json.loads((out / "certify_sweep.json").read_text())
+    assert set(sweep) == {"0.25", "0.5"}
+    assert (out / "sigma_0.25" / "certify_summary.json").exists()
+    assert (out / "sigma_0.5" / "certify_summary.json").exists()
+
+
+def test_shipped_configs_parse_and_exist():
+    """Every path in configs/all_config_paths.py exists and parses; the
+    reference's full replication sequence (ref Experiments.md:5-32 +
+    README.md:108-120) has a 1:1 shipped-YAML equivalent."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "all_config_paths", os.path.join(REPO, "configs", "all_config_paths.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for name, path in mod.ALL_CONFIGS.items():
+        assert os.path.exists(path), f"missing shipped config: {name} -> {path}"
+        with open(path) as handle:
+            parsed = yaml.safe_load(handle)
+        assert "run" in parsed and "model" in parsed, name
+    # the replication grid: 4 train noises, 4 eval noises, 3 certify
+    # noises + sweep, the attack table
+    for key in [
+        "vqav2_noise_0", "vqav2_noise_0.25", "vqav2_noise_0.5",
+        "vqav2_noise_1.0",
+    ]:
+        assert key in mod.TRAIN_CONFIGS
+    for key in [
+        "vqav2_eval_noise_0", "vqav2_eval_noise_0.25",
+        "vqav2_eval_noise_0.5", "vqav2_eval_noise_1.0",
+    ]:
+        assert key in mod.EVAL_CONFIGS
+    for key in [
+        "vqav2_certify_noise_0.25", "vqav2_certify_noise_0.5",
+        "vqav2_certify_noise_1.0", "vqav2_certify_sweep",
+    ]:
+        assert key in mod.CERTIFY_CONFIGS
+    assert "vqav2_attack" in mod.ATTACK_CONFIGS
+    sweep = yaml.safe_load(open(mod.CERTIFY_CONFIGS["vqav2_certify_sweep"]))
+    assert sweep["run"]["sigma_grid"] == [0.25, 0.5, 1.0]
+    attack = yaml.safe_load(open(mod.ATTACK_CONFIGS["vqav2_attack"]))
+    assert attack["run"]["attack_backbones"] == [
+        "rn50", "rn101", "vit_b16", "vit_b32", "vit_l14"
+    ]
+    assert attack["run"]["sigma_grid"] == [0.0, 0.25, 0.5, 1.0]
