@@ -209,9 +209,14 @@ def make_noisy_generate_fn(
         return gen_fn(params, images, input_ids, attention_mask, img_pos)
 
     # expose the generate graph's compile-cache size for the
-    # one-compile-per-sigma regression check (common/metrics.py)
+    # one-compile-per-sigma regression check (common/metrics.py), and the
+    # stage functions so tests can assert the MC axis REALLY carries a
+    # P("data", ...) sharding end to end (XLA silently replicating the
+    # batch would still produce correct labels — at 1/n_data the speed)
     fn._cache_size = gen_fn._cache_size
     fn.tile_prompt = tile_prompt
+    fn.noise_fn = noise_fn
+    fn.gen_fn = gen_fn
     return fn
 
 
