@@ -246,6 +246,8 @@ class CertifyAgent(SmoothedVQAAgentBase):
         if dataset is None:
             dataset = self.eval_dataset()
         limit = int(self.max_images) if self.max_images else len(dataset)
+        if self.run_cfg.get("continuous", False):
+            return self._run_continuous(dataset, min(limit, len(dataset)))
         rows: List[Dict[str, Any]] = []
         results_path = os.path.join(self.output_dir, "certify_results.jsonl")
 
@@ -287,6 +289,107 @@ class CertifyAgent(SmoothedVQAAgentBase):
                 )
 
         summary = self.summarize(rows)
+        with open(
+            os.path.join(self.output_dir, "certify_summary.json"), "w"
+        ) as handle:
+            json.dump(summary, handle, indent=2)
+        self.logger.info("certify summary: %s", summary)
+        return summary
+
+    def _run_continuous(self, dataset, limit: int) -> Dict[str, Any]:
+        """``run.continuous: true``: dataset-scale certify with draws from
+        MULTIPLE questions packed into shared mc_batch chunks
+        (smoothing/continuous.py) — removes the per-image partial-chunk
+        waste and phase bubbles of the serial loop. Certificates are
+        equally valid (i.i.d. draws either way) but the RNG stream
+        differs from the serial mode, so label/radius outputs are not
+        bit-identical across the two modes at sigma > 0."""
+        from certifiedgpt_tpu.smoothing.continuous import ContinuousCertifier
+
+        if "mixed_gen" not in self._gen_cache:
+            from certifiedgpt_tpu.smoothing.continuous import (
+                make_mixed_generate_fn,
+            )
+
+            self._gen_cache["mixed_gen"] = make_mixed_generate_fn(
+                self.model,
+                self.mc_batch,
+                self.max_new_tokens,
+                int(self.run_cfg.get("active_images", 8)),
+                seq_len=self.seq_len,
+                mesh=self.mesh,
+                early_exit=self.early_exit,
+            )
+        certifier = ContinuousCertifier(
+            self.model,
+            sigma=self.sigma,
+            n0=self.n0,
+            n=self.n,
+            alpha=self.alpha,
+            mc_batch=self.mc_batch,
+            max_new_tokens=self.max_new_tokens,
+            seq_len=self.seq_len,
+            num_slots=int(self.run_cfg.get("active_images", 8)),
+            mesh=self.mesh,
+            early_exit=self.early_exit,
+            window=int(self.run_cfg.get("dispatch_window", 4)),
+            gen=self._gen_cache["mixed_gen"],
+        )
+        items = [dataset[idx] for idx in range(limit)]
+        rows: List[Dict[str, Any]] = []
+        results_path = os.path.join(self.output_dir, "certify_results.jsonl")
+        t0 = time.time()
+        with open(results_path, "w") as sink:
+            def on_result(res, job):
+                label = res["label"]
+                text = (
+                    job.vocab.text_of(label) if label != ABSTAIN
+                    else "<abstain>"
+                )
+                correct = (
+                    label != ABSTAIN
+                    and self.is_correct(text, job.item["gt_answers"])
+                )
+                row = {
+                    "index": res["index"],
+                    "question_id": int(job.item["question_id"]),
+                    "label": int(label),
+                    "answer": text,
+                    "radius": float(res["radius"]),
+                    "correct": bool(correct),
+                    "abstain": label == ABSTAIN,
+                    "seconds": round(time.time() - t0, 3),  # cumulative
+                    "sigma": self.sigma,
+                    "n0": self.n0,
+                    "n": self.n,
+                }
+                rows.append(row)
+                sink.write(json.dumps(row) + "\n")
+                sink.flush()
+                self.logger.info(
+                    "certify[%d] qid=%s label=%s radius=%.3f correct=%s "
+                    "(%.1fs elapsed)",
+                    row["index"], row["question_id"], text, row["radius"],
+                    correct, row["seconds"],
+                )
+
+            certifier.run(
+                items,
+                self.wrap_instruction,
+                lambda item: self.build_vocab(item, dataset),
+                seed=certify_seed(self.seed, 0, self.sigma),
+                on_result=on_result,
+            )
+        elapsed = time.time() - t0
+        rows.sort(key=lambda r: r["index"])
+        summary = self.summarize(rows)
+        # wall-clock per image is the throughput metric in this mode (the
+        # per-row "seconds" field is cumulative elapsed, not per-image)
+        summary["mean_seconds_per_image"] = elapsed / max(len(rows), 1)
+        summary["continuous"] = True
+        summary["images_per_hour"] = 3600.0 / max(
+            summary["mean_seconds_per_image"], 1e-9
+        )
         with open(
             os.path.join(self.output_dir, "certify_summary.json"), "w"
         ) as handle:

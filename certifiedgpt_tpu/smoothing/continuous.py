@@ -1,0 +1,362 @@
+"""Continuous-batching dataset certification.
+
+The serial certify loop (``agents/certify.py``) runs one image at a
+time: every chunk holds ``mc_batch`` noisy copies of ONE image, so the
+final chunk of each phase wastes ``(-n) % mc_batch`` rows (13% of the
+whole run at the shipped mc_batch=96, n0=100, n=1000), and the device
+idles between an image's phases while the host finishes decoding.
+
+This module packs draws from MULTIPLE questions into every chunk. Two
+observations make that a pure scheduling change:
+
+- A certification draw is just "noisy copy of image i through the
+  model"; Cohen's estimation draws do NOT depend on the selection
+  result at dispatch time (the top class c_A only enters the
+  *statistics*), so all n0 + n draws of an image can be enqueued the
+  moment it becomes active — the first n0 decoded labels form the
+  selection counts, the rest the estimation counts, exactly the two
+  independent streams ``Smooth.certify`` consumes.
+- The compiled pipeline already takes the prompt as a runtime argument
+  (``smoothing/classifier.py``); extending it to per-ROW prompts is a
+  device-side gather from a fixed bank of ``num_slots`` active images,
+  so mixed chunks share the single full-scale XLA compilation.
+
+Draw validity: every row is an independent N(0, sigma^2) perturbation
+drawn from a counter-based key regardless of which image it lands on,
+so each image's draws are i.i.d. — the guarantee is unchanged. The RNG
+stream differs from the serial mode's per-image seeds (documented in
+docs/DESIGN.md); certificates are equally valid, not bit-identical.
+
+No reference counterpart (the reference's certify agent is an empty
+file, ref ``agents/minigpt4_certify_agent.py``); this is the
+dataset-scale serving mode for the capability.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch
+from certifiedgpt_tpu.models.minigpt4 import generate_greedy
+from certifiedgpt_tpu.smoothing.smoothing import (
+    ABSTAIN,
+    certified_radius,
+    clopper_pearson_lower,
+)
+
+
+def make_mixed_generate_fn(
+    model,
+    mc_batch: int,
+    max_new_tokens: int,
+    num_slots: int,
+    seq_len: int = 64,
+    mesh=None,
+    early_exit: bool = False,
+):
+    """Compiled mixed-chunk pipeline.
+
+    Returns ``fn(params, image_bank, ids_bank, am_bank, pos_bank,
+    row_slot, key, sigma) -> tokens [mc_batch, T]`` where the banks hold
+    the ``num_slots`` active images/prompts and ``row_slot[mc_batch]``
+    assigns each row to a slot. Mirrors
+    ``classifier.make_noisy_generate_fn`` (same noise/generate split —
+    fusing the RNG into the decode graph crashes this image's TPU
+    backend) with the image/prompt tile replaced by a bank gather.
+    """
+    cfg = model.cfg
+    eos = model.tokenizer.eos_token_id
+    pad = model.tokenizer.pad_token_id
+
+    mc_sharding = None
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        if mc_batch % n_data != 0:
+            raise ValueError(
+                f"mc_batch {mc_batch} must be divisible by the mesh data "
+                f"axis ({n_data})"
+            )
+        mc_sharding = lambda ndim: NamedSharding(  # noqa: E731
+            mesh, P("data", *([None] * (ndim - 1)))
+        )
+
+    @jax.jit
+    def noise_fn(image_bank, row_slot, key, sigma_val):
+        images = image_bank[row_slot]  # [mc, H, W, C] gather
+        images = images + sigma_val * jax.random.normal(
+            key, images.shape, images.dtype
+        )
+        if mc_sharding is not None:
+            images = jax.lax.with_sharding_constraint(
+                images, mc_sharding(images.ndim)
+            )
+        return images
+
+    @jax.jit
+    def gen_fn(params, images, ids_bank, am_bank, pos_bank, row_slot):
+        batch = {
+            "image": images,
+            "input_ids": ids_bank[row_slot],
+            "attention_mask": am_bank[row_slot],
+            "img_pos": pos_bank[row_slot],
+        }
+        if mc_sharding is not None:
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, mc_sharding(v.ndim))
+                for k, v in batch.items()
+            }
+        return generate_greedy(
+            params, cfg, batch, max_new_tokens, eos, pad,
+            early_exit=early_exit,
+        )
+
+    @jax.jit
+    def set_image_slot(image_bank, slot, image):
+        return jax.lax.dynamic_update_slice(
+            image_bank, image[None], (slot, 0, 0, 0)
+        )
+
+    def fn(params, image_bank, ids_bank, am_bank, pos_bank, row_slot, key,
+           sigma):
+        images = noise_fn(image_bank, row_slot, key, jnp.float32(sigma))
+        return gen_fn(params, images, ids_bank, am_bank, pos_bank, row_slot)
+
+    fn.noise_fn = noise_fn
+    fn.gen_fn = gen_fn
+    fn.set_image_slot = set_image_slot
+    fn._cache_size = gen_fn._cache_size
+    return fn
+
+
+class _ImageJob:
+    __slots__ = (
+        "index", "item", "vocab", "slot", "enqueued", "decoded",
+        "sel_counts", "est_counts", "n0", "n", "result",
+    )
+
+    def __init__(self, index, item, vocab, n0, n):
+        self.index = index
+        self.item = item
+        self.vocab = vocab
+        self.slot: Optional[int] = None
+        self.enqueued = 0  # draws dispatched
+        self.decoded = 0  # draws whose labels landed
+        self.n0 = n0
+        self.n = n
+        self.sel_counts = np.zeros(vocab.num_classes, np.int64)
+        self.est_counts = np.zeros(vocab.num_classes, np.int64)
+        self.result: Optional[Dict[str, Any]] = None
+
+    @property
+    def total(self) -> int:
+        return self.n0 + self.n
+
+    def record(self, label: int) -> None:
+        # first n0 decoded labels = selection stream, rest = estimation
+        if label >= self.vocab.num_classes:
+            raise ValueError(
+                f"label {label} >= num_classes {self.vocab.num_classes}"
+            )
+        if self.decoded < self.n0:
+            self.sel_counts[label] += 1
+        else:
+            self.est_counts[label] += 1
+        self.decoded += 1
+
+
+class ContinuousCertifier:
+    """Certify a stream of (image, question) items with mixed chunks.
+
+    ``wrap_instruction`` maps an item's instruction to the final prompt;
+    ``build_vocab`` maps an item to its fixed ``AnswerVocabulary`` (both
+    supplied by the agent so serial and continuous modes share them).
+    """
+
+    def __init__(
+        self,
+        model,
+        *,
+        sigma: float,
+        n0: int,
+        n: int,
+        alpha: float,
+        mc_batch: int,
+        max_new_tokens: int,
+        seq_len: int,
+        num_slots: int = 8,
+        mesh=None,
+        early_exit: bool = False,
+        window: int = 4,
+        gen=None,
+    ):
+        self.model = model
+        self.sigma = float(sigma)
+        self.n0, self.n, self.alpha = int(n0), int(n), float(alpha)
+        self.mc_batch = int(mc_batch)
+        self.seq_len = int(seq_len)
+        self.num_slots = int(num_slots)
+        self.window = int(window)
+        self.gen = gen or make_mixed_generate_fn(
+            model, mc_batch, max_new_tokens, num_slots,
+            seq_len=seq_len, mesh=mesh, early_exit=early_exit,
+        )
+        cfg = model.cfg
+        self._spec = BatchSpec(
+            seq_len=seq_len, num_img_tokens=cfg.num_img_tokens
+        )
+        img = cfg.vit.img_size
+        self._image_bank = jnp.zeros((self.num_slots, img, img, 3), jnp.float32)
+        self._ids_bank = np.zeros((self.num_slots, seq_len), np.int64)
+        self._am_bank = np.zeros((self.num_slots, seq_len), np.int64)
+        self._pos_bank = np.zeros((self.num_slots,), np.int64)
+
+    # ------------------------------------------------------------------
+    def _assign_slot(self, job: _ImageJob, slot: int, instruction: str):
+        job.slot = slot
+        self._image_bank = self.gen.set_image_slot(
+            self._image_bank, slot, jnp.asarray(job.item["image"], jnp.float32)
+        )
+        prompt = build_gen_batch(
+            self.model.tokenizer, [instruction], self._spec
+        )
+        self._ids_bank[slot] = prompt["input_ids"][0]
+        self._am_bank[slot] = prompt["attention_mask"][0]
+        self._pos_bank[slot] = prompt["img_pos"][0]
+
+    def _finalize(self, job: _ImageJob) -> Dict[str, Any]:
+        c_a = int(np.argmax(job.sel_counts))
+        n_a = int(job.est_counts[c_a])
+        p_a_bar = clopper_pearson_lower(n_a, self.n, self.alpha)
+        if p_a_bar < 0.5:
+            label, radius = ABSTAIN, 0.0
+        else:
+            label, radius = c_a, certified_radius(self.sigma, p_a_bar)
+        return {"label": label, "radius": radius, "index": job.index}
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        items: Sequence[dict],
+        wrap_instruction: Callable[[str], str],
+        build_vocab,
+        seed: int = 0,
+        on_result: Optional[Callable[[dict, _ImageJob], None]] = None,
+    ) -> List[Dict[str, Any]]:
+        jobs: deque = deque()
+        for idx, item in enumerate(items):
+            vocab = build_vocab(item)
+            job = _ImageJob(idx, item, vocab, self.n0, self.n)
+            if vocab.num_classes < 2:
+                # degenerate label set: abstain without spending draws
+                # (same guard as Smooth.certify)
+                job.result = {"label": ABSTAIN, "radius": 0.0, "index": idx}
+            jobs.append(job)
+
+        results: List[Optional[Dict[str, Any]]] = [None] * len(jobs)
+        for job in list(jobs):
+            if job.result is not None:
+                results[job.index] = job.result
+                if on_result:
+                    on_result(job.result, job)
+        jobs = deque(j for j in jobs if j.result is None)
+
+        active: List[Optional[_ImageJob]] = [None] * self.num_slots
+        decode_queue: deque = deque()  # (pending tokens, [jobs per row])
+        base_key = jax.random.PRNGKey(seed)
+        chunk_idx = 0
+        eos = self.model.tokenizer.eos_token_id
+        tokenizer = self.model.tokenizer
+
+        def refill_slots():
+            for slot in range(self.num_slots):
+                if active[slot] is None and jobs:
+                    job = jobs.popleft()
+                    self._assign_slot(
+                        job, slot,
+                        wrap_instruction(job.item["instruction_input"]),
+                    )
+                    active[slot] = job
+
+        def build_chunk():
+            """FIFO over active slots; rows of the next chunk."""
+            rows, row_jobs = [], []
+            for slot in range(self.num_slots):
+                job = active[slot]
+                if job is None:
+                    continue
+                take = min(job.total - job.enqueued,
+                           self.mc_batch - len(rows))
+                rows.extend([slot] * take)
+                row_jobs.extend([job] * take)
+                job.enqueued += take
+                if job.enqueued >= job.total:
+                    # fully dispatched: the slot's DEVICE data is still
+                    # referenced only by already-enqueued chunks, so the
+                    # slot can host the next image immediately — the
+                    # bank gather happens at dispatch time
+                    active[slot] = None
+                if len(rows) == self.mc_batch:
+                    break
+            return rows, row_jobs
+
+        def dispatch():
+            nonlocal chunk_idx
+            refill_slots()
+            rows, row_jobs = build_chunk()
+            if not rows:
+                return False
+            fill = len(rows)
+            while len(rows) < self.mc_batch:  # tail of the whole run
+                rows.append(rows[-1])
+                row_jobs.append(None)  # padding rows: decoded but unused
+            tokens = self.gen(
+                self.model.params,
+                self._image_bank,
+                jnp.asarray(self._ids_bank),
+                jnp.asarray(self._am_bank),
+                jnp.asarray(self._pos_bank),
+                jnp.asarray(rows, jnp.int32),
+                jax.random.fold_in(base_key, chunk_idx),
+                self.sigma,
+            )
+            chunk_idx += 1
+            decode_queue.append((tokens, row_jobs[:fill]))
+            return True
+
+        for _ in range(self.window):
+            if not dispatch():
+                break
+
+        while decode_queue:
+            tokens, row_jobs = decode_queue.popleft()
+            tokens = np.asarray(tokens)  # sync on the oldest chunk
+            dispatch()  # keep the device fed while the host decodes
+            for i, job in enumerate(row_jobs):
+                if job is None:
+                    continue
+                ids = tokens[i].tolist()
+                if eos in ids:
+                    ids = ids[: ids.index(eos)]
+                text = tokenizer.decode(ids, skip_special_tokens=True)
+                job.record(job.vocab.label_of(text))
+                if job.decoded >= job.total and job.result is None:
+                    job.result = self._finalize(job)
+                    results[job.index] = job.result
+                    if on_result:
+                        on_result(job.result, job)
+
+        missing = [i for i, r in enumerate(results) if r is None]
+        if missing:
+            raise RuntimeError(
+                f"continuous certify finished with unfinalized images "
+                f"{missing[:5]} — scheduler bug"
+            )
+        return results  # ordered by dataset index

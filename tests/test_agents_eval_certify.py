@@ -376,3 +376,99 @@ def test_eval_noise_and_sampling_keys_disjoint(eval_setup, monkeypatch):
     assert not np.array_equal(k_noise, k_sample)
     assert not np.array_equal(k_noise, rng)
     assert not np.array_equal(k_sample, rng)
+
+
+def test_continuous_certify_matches_serial_at_sigma_zero(eval_setup):
+    """sigma=0 makes every draw the clean forward, so the serial and
+    continuous schedulers must produce IDENTICAL labels and radii — the
+    full equivalence check their different RNG streams allow."""
+    make_cfg, tmp_path = eval_setup
+    common = dict(
+        noise_level=0.0,
+        certify_n0=4,
+        certify_n=8,
+        certify_alpha=0.05,
+        mc_batch=8,
+        max_images=4,
+    )
+    serial = setup_agent(
+        make_cfg("image_text_certify", output_dir=str(tmp_path / "ser"), **common)
+    )
+    s_sum = serial.run()
+    cont = setup_agent(
+        make_cfg(
+            "image_text_certify", output_dir=str(tmp_path / "con"),
+            continuous=True, active_images=3, **common,
+        )
+    )
+    c_sum = cont.run()
+    s_rows = [
+        json.loads(line) for line in
+        (tmp_path / "ser" / "certify_results.jsonl").read_text().splitlines()
+    ]
+    c_rows = [
+        json.loads(line) for line in
+        (tmp_path / "con" / "certify_results.jsonl").read_text().splitlines()
+    ]
+    c_rows.sort(key=lambda r: r["index"])
+    assert [r["label"] for r in c_rows] == [r["label"] for r in s_rows]
+    assert [r["radius"] for r in c_rows] == [r["radius"] for r in s_rows]
+    assert [r["answer"] for r in c_rows] == [r["answer"] for r in s_rows]
+    assert c_sum["continuous"] is True
+    assert c_sum["total"] == s_sum["total"] == 4
+    assert "images_per_hour" in c_sum
+
+
+def test_continuous_certify_mixed_chunks(eval_setup):
+    """More images than slots, chunk smaller than an image's draw budget:
+    the scheduler must still deliver every image exactly n0+n draws and
+    finalize all of them, with ONE compiled mixed-generate graph."""
+    from certifiedgpt_tpu.common.metrics import jit_cache_size
+
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            continuous=True,
+            active_images=2,
+            certify_n0=3,
+            certify_n=5,
+            certify_alpha=0.05,
+            mc_batch=4,   # 2 chunks per image, always mixed at the seams
+            max_images=6,
+        )
+    )
+    summary = agent.run()
+    assert summary["total"] == 6
+    rows = [
+        json.loads(line) for line in
+        (tmp_path / "out_image_text_certify" / "certify_results.jsonl")
+        .read_text().splitlines()
+    ]
+    assert sorted(r["index"] for r in rows) == list(range(6))
+    assert all(r["n0"] == 3 and r["n"] == 5 for r in rows)
+    gen = agent._gen_cache["mixed_gen"]
+    assert jit_cache_size(gen) == 1, "mixed generate graph recompiled"
+
+
+def test_continuous_certify_sigma_sweep_shares_compile(eval_setup):
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            continuous=True,
+            active_images=2,
+            certify_n0=3,
+            certify_n=5,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=2,
+            sigma_grid=[0.25, 0.5],
+        )
+    )
+    result = agent.run()
+    assert set(result["sweep"]) == {"0.25", "0.5"}
+    from certifiedgpt_tpu.common.metrics import jit_cache_size
+
+    gen = agent._gen_cache["mixed_gen"]
+    assert jit_cache_size(gen) == 1, "sigma sweep recompiled the mixed gen"
