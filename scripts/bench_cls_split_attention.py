@@ -40,9 +40,11 @@ def _cls_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, out_ref, *, scale):
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [TQ, 1024] fp32
-    kc = kc_ref[0, 0, 0:1, :]  # [1, D]
-    s_c = jax.lax.dot_general(
-        q, kc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    # cls score as a VPU reduce, not a N=1 matvec — Mosaic's matvec
+    # lowering trips a bf16->f32 vector.broadcast verification error
+    kc = kc_ref[0, 0, 0:1, :].astype(jnp.float32)  # [1, D]
+    s_c = jnp.sum(
+        q.astype(jnp.float32) * kc, axis=1, keepdims=True
     ) * scale  # [TQ, 1]
     m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_c)
     p = jnp.exp(scores - m)
@@ -125,41 +127,39 @@ def main():
         builtin_flash_attention_bhsd,
     )
 
-    def make_inputs(key):
-        q, k, v = (
-            jax.random.normal(
-                jax.random.fold_in(key, i), (B, H, S, DP), jnp.bfloat16
-            )
-            for i in range(3)
-        )
-        # zero the padded head lanes like production
-        mask = (jnp.arange(DP) < D).astype(jnp.bfloat16)
-        return q * mask, k * mask, v * mask
+    # inputs generated ONCE on device — the timed paths see only the
+    # attention op (the earlier in-jit RNG added ~10 ms of threefry)
+    mask = (jnp.arange(DP) < D).astype(jnp.bfloat16)
+    q, k, v = (
+        jax.random.normal(
+            jax.random.fold_in(key, i), (B, H, S, DP), jnp.bfloat16
+        ) * mask
+        for i in range(3)
+    )
+    q, k, v = jax.block_until_ready((q, k, v))
 
     @jax.jit
-    def builtin_path(key):
-        q, k, v = make_inputs(key)
+    def builtin_path(q, k, v):
         out = builtin_flash_attention_bhsd(q, k, v, D)
         return jnp.sum(out[:, 0, 0, 0]), out
 
     def make_cls(tile_q):
         @jax.jit
-        def cls_path(key):
-            q, k, v = make_inputs(key)
+        def cls_path(q, k, v):
             out = cls_split_attention(q, k, v, D, tile_q=tile_q)
             return jnp.sum(out[:, 0, 0, 0]), out
 
         return cls_path
 
-    t_b = timeit(builtin_path, key)
-    _, ref = builtin_path(key)
+    t_b = timeit(builtin_path, q, k, v)
+    _, ref = builtin_path(q, k, v)
     print(f"builtin(1152)   {t_b*1e3:7.2f} ms", flush=True)
 
     for tq in (1024, 512, 256):
         try:
             fn = make_cls(tq)
-            t = timeit(fn, key)
-            _, out = fn(key)
+            t = timeit(fn, q, k, v)
+            _, out = fn(q, k, v)
             diff = float(jnp.max(jnp.abs(
                 out.astype(jnp.float32) - ref.astype(jnp.float32)
             )))
