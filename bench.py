@@ -193,6 +193,12 @@ def main(argv=None):
         "bf16 activations against int8 decoder weights, bf16 ViT",
     )
     parser.add_argument(
+        "--attn-impl", default="flash_cls",
+        choices=["xla", "flash", "flash_cls", "flash_custom"],
+        help="ViT attention kernel (full-scale mode only); flash_cls is "
+        "the r3 cls-split exact-1024 kernel",
+    )
+    parser.add_argument(
         "--no-kv-quant", action="store_true",
         help="disable the int8 KV cache (full-scale mode only): bf16 "
         "cache; note the bf16 cache does not fit mc_batch > ~50 on a "
@@ -227,7 +233,7 @@ def main(argv=None):
         aq = not args.no_act_quant
         kvq = not args.no_kv_quant
         cfg = MiniGPT4Config(
-            vit=EvaViTConfig(attn_impl="flash", act_quant=aq),
+            vit=EvaViTConfig(attn_impl=args.attn_impl, act_quant=aq),
             llama=LlamaConfig(act_quant=aq, kv_quant=kvq),
         )
         params = build_full_int8_params(cfg)

@@ -50,7 +50,10 @@ class EvaViTConfig:
     remat: bool = False
     # attention implementation: "xla" (default; XLA's fused lowering),
     # "flash" (jax's builtin TPU flash kernel, full-sequence blocks —
-    # 2.2x over XLA at ViT-g scale; XLA fallback off-TPU), or
+    # 2.2x over XLA at ViT-g scale; XLA fallback off-TPU),
+    # "flash_cls" (r3 production: cls-split exact-(S-1) Pallas kernel,
+    # ~2.2x over "flash" at certify shapes; falls back to "flash" when
+    # S-1 is not a lane multiple, exact XLA fallback off-TPU), or
     # "flash_custom" (the hand-written kernel in ops/flash_attention)
     attn_impl: str = "xla"
     # W8A8 serving mode: when the qkv/proj/fc1/fc2 kernels are
@@ -140,7 +143,8 @@ def patchify(images: jnp.ndarray, cfg: EvaViTConfig) -> jnp.ndarray:
 
 
 def _qkv_headpadded(
-    lp: Dict[str, Any], hidden: jnp.ndarray, cfg: EvaViTConfig
+    lp: Dict[str, Any], hidden: jnp.ndarray, cfg: EvaViTConfig,
+    q_premul: float = 1.0,
 ):
     """Emit q, k, v directly in the flash kernel's [B, H, S, Dp] layout.
 
@@ -151,19 +155,29 @@ def _qkv_headpadded(
     qkv+attention at ViT-g certify shapes, bit-identical outputs; the
     zero lanes add nothing to q.k or the attention output). q/v biases
     land in the padded layout; the BEiT k bias is identically zero
-    (ref ``eva_vit.py:156-185`` qkv-bias layout)."""
+    (ref ``eva_vit.py:156-185`` qkv-bias layout).
+
+    ``q_premul`` folds a static factor (e.g. the softmax scale, or
+    scale*log2(e) for the exp2 cls-split kernel) into the q WEIGHTS and
+    q bias — a few-M-element multiply on the weight tensor instead of a
+    full [B, H, S, Dp] activation pass per layer."""
     b, s, _ = hidden.shape
     h, dh = cfg.num_heads, cfg.head_dim
     dp = -(-dh // 128) * 128
 
-    def pad_w(w):  # [K, 3*H*dh] -> [K, 3, H, dp]
+    def pad_w(w, premul=False):  # [K, 3*H*dh] -> [K, 3, H, dp]
         w4 = w.reshape(w.shape[0], 3, h, dh)
+        if premul and q_premul != 1.0:
+            w4 = w4.at[:, 0].multiply(jnp.asarray(q_premul, w4.dtype))
         return jnp.pad(w4, ((0, 0), (0, 0), (0, 0), (0, dp - dh)))
 
-    def pad_s(sv):  # [3*H*dh] -> [3, H, dp]
-        return jnp.pad(
-            sv.reshape(3, h, dh), ((0, 0), (0, 0), (0, dp - dh))
-        )
+    def pad_s(sv, premul=False):  # [3*H*dh] -> [3, H, dp]
+        sv3 = sv.reshape(3, h, dh)
+        if premul and q_premul != 1.0:
+            # int8 kernels: fold the factor into the f32 dequant scale
+            # (multiplying the int8 weights themselves would corrupt them)
+            sv3 = sv3.at[0].multiply(jnp.asarray(q_premul, sv3.dtype))
+        return jnp.pad(sv3, ((0, 0), (0, 0), (0, dp - dh)))
 
     p = lp["qkv"]
     if "kernel_q" in p and cfg.act_quant:
@@ -175,7 +189,8 @@ def _qkv_headpadded(
             preferred_element_type=jnp.float32,
         )
         y = (
-            acc * xs[None, :, None, :, :] * pad_s(p["scale"])[:, None, :, None, :]
+            acc * xs[None, :, None, :, :]
+            * pad_s(p["scale"], premul=True)[:, None, :, None, :]
         ).astype(hidden.dtype)
     elif "kernel_q" in p:
         acc = jnp.einsum(
@@ -183,10 +198,13 @@ def _qkv_headpadded(
             pad_w(p["kernel_q"]).astype(hidden.dtype),
             preferred_element_type=jnp.float32,
         )
-        y = (acc * pad_s(p["scale"])[:, None, :, None, :]).astype(hidden.dtype)
+        y = (
+            acc * pad_s(p["scale"], premul=True)[:, None, :, None, :]
+        ).astype(hidden.dtype)
     else:
         acc = jnp.einsum(
-            "bsk,kthd->tbhsd", hidden, pad_w(p["kernel"]).astype(hidden.dtype),
+            "bsk,kthd->tbhsd", hidden,
+            pad_w(p["kernel"], premul=True).astype(hidden.dtype),
             preferred_element_type=jnp.float32,
         )
         y = acc.astype(hidden.dtype)
@@ -194,6 +212,8 @@ def _qkv_headpadded(
     qb = jnp.pad(
         lp["q_bias"].reshape(h, dh), ((0, 0), (0, dp - dh))
     ).astype(y.dtype)
+    if q_premul != 1.0:
+        qb = qb * jnp.asarray(q_premul, qb.dtype)
     vb = jnp.pad(
         lp["v_bias"].reshape(h, dh), ((0, 0), (0, dp - dh))
     ).astype(y.dtype)
@@ -206,11 +226,34 @@ def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.nda
 
     hidden = L.layer_norm(lp["norm1"], x, cfg.layer_norm_eps)
     aq = cfg.act_quant
-    if cfg.attn_impl == "flash":
+    if cfg.attn_impl == "flash_cls" and (s - 1) % 128 == 0:
+        # r3 production kernel: split the cls token out so the patch
+        # block is EXACTLY (S-1) = k*128 — no sequence padding, no
+        # masks. The split happens on `hidden` BEFORE the qkv einsum, so
+        # the matmul itself writes the kernel's operands (Pallas inputs
+        # must be materialized: post-matmul slices cost three full
+        # [B,H,S,Dp] copies, measured 6.3 ms/layer-call — more than the
+        # kernel). The softmax scale * log2(e) folds into the q weights
+        # and the kernel runs exp2 (ops/flash_attention.py::
+        # cls_split_attention: 5.5 ms vs 12.0 ms builtin at certify
+        # shapes). Exact XLA fallback off-TPU.
+        from certifiedgpt_tpu.ops.flash_attention import (
+            CLS_SPLIT_Q_PREMUL_LOG2E,
+            cls_split_attention,
+        )
+
+        prem = (dh ** -0.5) * CLS_SPLIT_Q_PREMUL_LOG2E
+        hc, hp = hidden[:, :1], hidden[:, 1:]
+        qp, kp, vp = _qkv_headpadded(lp, hp, cfg, q_premul=prem)
+        qc, kc, vc = _qkv_headpadded(lp, hc, cfg, q_premul=prem)
+        attn_p = cls_split_attention(qp, kp, vp, qc, kc, vc)
+        attn = jnp.transpose(attn_p[..., :dh], (0, 2, 1, 3))  # [B,S,H,dh]
+    elif cfg.attn_impl in ("flash", "flash_cls"):
         # jax's built-in TPU flash kernel with full-sequence blocks —
         # measured 2.2x over the XLA path at ViT-g/448 certify batches —
         # fed by the head-padded fused qkv (no transpose/pad pass; see
-        # _qkv_headpadded). XLA fallback off-TPU.
+        # _qkv_headpadded). XLA fallback off-TPU. ("flash_cls" lands
+        # here when S-1 is not a lane multiple.)
         from certifiedgpt_tpu.ops.flash_attention import (
             builtin_flash_attention_bhsd,
         )
@@ -237,7 +280,7 @@ def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.nda
             # back to the slow path and eat the measured attention win
             raise ValueError(
                 f"unknown attn_impl {cfg.attn_impl!r}: "
-                "use 'xla', 'flash' or 'flash_custom'"
+                "use 'xla', 'flash', 'flash_cls' or 'flash_custom'"
             )
     x = x + L.dense(lp["proj"], attn.reshape(b, s, d), act_quant=aq)
 

@@ -255,6 +255,138 @@ def builtin_flash_attention(
     return jnp.transpose(out[:, :, :s, :d], (0, 2, 1, 3))
 
 
+def _cls_split_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, out_ref):
+    """Full-block attention over N patch keys + a rank-1 cls-key merge.
+
+    Operands are [1, 1, TQ/N, Dp] blocks of pre-scaled queries (the
+    producer folds ``head_dim**-0.5 * log2(e)`` into the q weights, so
+    the kernel runs ``exp2`` with no per-score multiply) and bf16 keys/
+    values. The cls key/value ride in [1, 1, 8, Dp] blocks (row 0 real).
+    No masking anywhere: N is an exact lane multiple by construction.
+    """
+    q = q_ref[0, 0]  # [TQ, Dp] bf16, pre-scaled
+    k = k_ref[0, 0]  # [N, Dp]
+    v = v_ref[0, 0]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TQ, N] — already in the log2 domain
+    # cls score as a VPU reduce, not an N=1 matvec (Mosaic's matvec
+    # lowering trips a bf16->f32 vector.broadcast verifier error)
+    kc = kc_ref[0, 0, 0:1, :].astype(jnp.float32)  # [1, Dp]
+    s_c = jnp.sum(q.astype(jnp.float32) * kc, axis=1, keepdims=True)
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_c)
+    p = jnp.exp2(scores - m)
+    e_c = jnp.exp2(s_c - m)  # [TQ, 1]
+    l = jnp.sum(p, axis=-1, keepdims=True) + e_c
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TQ, Dp]
+    vc = vc_ref[0, 0, 0:1, :].astype(jnp.float32)
+    out_ref[0, 0] = ((pv + e_c * vc) / l).astype(out_ref.dtype)
+
+
+#: factor producers fold into q so kernels exp2 without rescaling
+CLS_SPLIT_Q_PREMUL_LOG2E = float(np.log2(np.e))
+
+
+def cls_split_attention(
+    qp: jnp.ndarray,  # [B, H, N, Dp] patch queries, PRE-SCALED (see note)
+    kp: jnp.ndarray,  # [B, H, N, Dp]
+    vp: jnp.ndarray,
+    qc: jnp.ndarray,  # [B, H, 1, Dp] cls query (pre-scaled)
+    kc: jnp.ndarray,  # [B, H, 1, Dp]
+    vc: jnp.ndarray,
+) -> jnp.ndarray:
+    """Exact-sequence attention for ViT's [cls + N patches] tokens.
+
+    EVA ViT-g's S = 1025 forces the generic kernels to pad 1025->1152
+    (1.27x matmul FLOPs AND 1.27x softmax VPU work, plus masking).
+    Splitting the single cls token out makes the patch block EXACTLY
+    N = 1024 = 8x128 — no padding, no masks — with the cls key folded
+    into each patch row's softmax as a rank-1 online merge inside the
+    kernel, and the (single) cls query row done in XLA. Crucially the
+    producer emits the split operands DIRECTLY from the qkv matmul
+    (``models/eva_vit.py::_vit_block`` slices ``hidden`` BEFORE the
+    einsum), because Pallas operands must be materialized: slicing
+    after the matmul costs three full [B,H,S,Dp] copies (measured
+    6.3 ms/layer-call at certify shapes — more than the kernel itself).
+
+    PRE-SCALING CONTRACT: q operands carry ``head_dim**-0.5 * log2(e)``
+    (``CLS_SPLIT_Q_PREMUL_LOG2E``) folded into the qkv weights, so the
+    kernel computes softmax via ``exp2`` with zero per-score multiplies;
+    the log2 factor cancels in the softmax normalization.
+
+    Measured (v5e, B=50, H=16, N=1024, Dp=128): 5.5 ms vs 12.0 ms for
+    the builtin full-seq-block kernel fed from the same operands.
+    Returns [B, H, 1+N, Dp] with the cls row FIRST (the model's token
+    order). Off-TPU: exact XLA fallback.
+    """
+    b, h, n, d = qp.shape
+    ln2 = float(np.log(2.0))
+
+    if jax.default_backend() != "tpu" or n % _LANES != 0:
+        # reassemble and run the XLA path (scale=ln2 undoes the log2e
+        # pre-scale: softmax(s_tilde * ln2) == softmax(s))
+        from certifiedgpt_tpu.ops.attention import multi_head_attention
+
+        bshd = lambda x: jnp.transpose(x, (0, 2, 1, 3))  # noqa: E731
+        q = jnp.concatenate([qc, qp], axis=2)
+        k = jnp.concatenate([kc, kp], axis=2)
+        v = jnp.concatenate([vc, vp], axis=2)
+        out = multi_head_attention(bshd(q), bshd(k), bshd(v), scale=ln2)
+        return jnp.transpose(out, (0, 2, 1, 3))
+
+    tile_q = next(t for t in (512, 256, 128) if n % t == 0)
+    kc8 = jnp.pad(kc, ((0, 0), (0, 0), (0, 7), (0, 0)))
+    vc8 = jnp.pad(vc, ((0, 0), (0, 0), (0, 7), (0, 0)))
+    out_p = pl.pallas_call(
+        _cls_split_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), qp.dtype),
+        grid=(b, h, n // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile_q, d), lambda bb, hh, qi: (bb, hh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, d), lambda bb, hh, qi: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, d), lambda bb, hh, qi: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, d), lambda bb, hh, qi: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, d), lambda bb, hh, qi: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tile_q, d), lambda bb, hh, qi: (bb, hh, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(qp, kp, vp, kc8, vc8)
+
+    # cls query row: one query over [cls + N] keys — negligible, XLA
+    s_p = jnp.einsum(
+        "bhqd,bhkd->bhqk", qc, kp, preferred_element_type=jnp.float32
+    )  # [B, H, 1, N] (log2 domain)
+    s_cc = jnp.sum(
+        qc.astype(jnp.float32) * kc.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )  # [B, H, 1, 1]
+    m = jnp.maximum(jnp.max(s_p, axis=-1, keepdims=True), s_cc)
+    w_p = jnp.exp2(s_p - m)
+    w_c = jnp.exp2(s_cc - m)
+    denom = jnp.sum(w_p, axis=-1, keepdims=True) + w_c
+    out_c = (
+        jnp.einsum(
+            "bhqk,bhkd->bhqd", w_p.astype(vp.dtype), vp,
+            preferred_element_type=jnp.float32,
+        )
+        + w_c * vc.astype(jnp.float32)
+    ) / denom
+    return jnp.concatenate([out_c.astype(out_p.dtype), out_p], axis=2)
+
+
 def builtin_flash_attention_bhsd(
     q: jnp.ndarray,  # [B, H, S, D_pad] (head dim already lane-padded)
     k: jnp.ndarray,

@@ -125,3 +125,125 @@ def test_vit_flash_headpadded_qkv_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
     )
+
+
+def test_vit_flash_cls_split_matches_xla_path():
+    """attn_impl="flash_cls" (cls-split exact-(S-1) attention with the
+    softmax scale * log2(e) folded into the q weights and exp2 softmax)
+    must reproduce the plain xla tower — the log2 factor cancels in the
+    softmax normalization. Uses grid 16 so S-1 = 256 is a lane multiple
+    and the cls-split branch (CPU fallback) actually runs."""
+    import dataclasses
+
+    import numpy as np
+
+    from certifiedgpt_tpu.models.eva_vit import (
+        EvaViTConfig,
+        eva_vit_apply,
+        init_eva_vit,
+    )
+
+    base = EvaViTConfig.tiny(img_size=32, patch_size=2)
+    assert (base.seq_len - 1) % 128 == 0
+    params = init_eva_vit(jax.random.PRNGKey(3), base)
+    params["layers"]["q_bias"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(4), params["layers"]["q_bias"].shape
+    )
+    params["layers"]["v_bias"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(5), params["layers"]["v_bias"].shape
+    )
+    imgs = jax.random.normal(
+        jax.random.PRNGKey(6), (2, base.img_size, base.img_size, 3)
+    )
+    ref = eva_vit_apply(params, dataclasses.replace(base, attn_impl="xla"), imgs)
+    out = eva_vit_apply(
+        params, dataclasses.replace(base, attn_impl="flash_cls"), imgs
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+    # non-lane-multiple S falls back to the "flash" branch, still exact
+    small = EvaViTConfig.tiny()
+    params_s = init_eva_vit(jax.random.PRNGKey(7), small)
+    imgs_s = jax.random.normal(
+        jax.random.PRNGKey(8), (2, small.img_size, small.img_size, 3)
+    )
+    ref_s = eva_vit_apply(
+        params_s, dataclasses.replace(small, attn_impl="xla"), imgs_s
+    )
+    out_s = eva_vit_apply(
+        params_s, dataclasses.replace(small, attn_impl="flash_cls"), imgs_s
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(ref_s), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_vit_flash_cls_split_int8_premul_folds_into_scale():
+    """With int8 ViT kernels the q pre-scale folds into the f32 dequant
+    scale, NOT the int8 weights; the quantized flash_cls tower must
+    equal the quantized xla tower (identical quantization error)."""
+    import dataclasses
+
+    import numpy as np
+
+    from certifiedgpt_tpu.models.eva_vit import (
+        EvaViTConfig,
+        eva_vit_apply,
+        init_eva_vit,
+    )
+    from certifiedgpt_tpu.ops.quantization import quantize_eva_vit
+
+    base = EvaViTConfig.tiny(img_size=32, patch_size=2)
+    params = quantize_eva_vit(init_eva_vit(jax.random.PRNGKey(9), base))
+    imgs = jax.random.normal(
+        jax.random.PRNGKey(10), (2, base.img_size, base.img_size, 3)
+    )
+    ref = eva_vit_apply(params, dataclasses.replace(base, attn_impl="xla"), imgs)
+    out = eva_vit_apply(
+        params, dataclasses.replace(base, attn_impl="flash_cls"), imgs
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4
+    )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Pallas kernel needs TPU"
+)
+def test_cls_split_kernel_matches_xla_on_tpu():
+    """The real Pallas cls-split kernel vs the XLA reference at a
+    head_dim-88 shape (bf16 tolerance)."""
+    import math
+
+    from certifiedgpt_tpu.ops.flash_attention import (
+        CLS_SPLIT_Q_PREMUL_LOG2E,
+        cls_split_attention,
+    )
+
+    rng = np.random.RandomState(0)
+    b, h, n, d, dp = 2, 4, 256, 88, 128
+    prem = (d ** -0.5) * CLS_SPLIT_Q_PREMUL_LOG2E
+
+    def mk(key):
+        x = rng.randn(b, h, n + 1, dp).astype(np.float32)
+        x[..., d:] = 0.0
+        return jnp.asarray(x, jnp.bfloat16)
+
+    q, k, v = mk(0), mk(1), mk(2)
+    qs = (q.astype(jnp.float32) * prem).astype(jnp.bfloat16)
+    out = cls_split_attention(
+        qs[:, :, 1:], k[:, :, 1:], v[:, :, 1:],
+        qs[:, :, :1], k[:, :, :1], v[:, :, :1],
+    )
+    ref = multi_head_attention(
+        jnp.transpose(q, (0, 2, 1, 3)),
+        jnp.transpose(k, (0, 2, 1, 3)),
+        jnp.transpose(v, (0, 2, 1, 3)),
+        scale=d ** -0.5,
+    )
+    ref = jnp.transpose(ref, (0, 2, 1, 3))
+    diff = float(jnp.max(jnp.abs(
+        out.astype(jnp.float32) - ref.astype(jnp.float32)
+    )))
+    assert diff < 2e-2, diff
