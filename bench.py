@@ -237,11 +237,11 @@ def main(argv=None):
             llama=LlamaConfig(act_quant=aq, kv_quant=kvq),
         )
         params = build_full_int8_params(cfg)
-        # mc_batch=50 measures best: the int8 KV cache makes 100 *fit*
-        # on one v5e (bf16 tops out at 50), but HBM pressure at 100
-        # slows the vision tower more than the extra decode
-        # amortization saves (22.3 vs 21.4 ms/draw measured).
-        mc_batch = args.mc_batch or 50
+        # mc_batch=100 (fits one v5e thanks to the int8 KV cache):
+        # with the r3 cls-split split-stream ViT the old HBM-pressure
+        # penalty flipped — 28.2 s vs 30.5 s at mc=50 (and 11 zero-waste
+        # chunks for n0=100/n=1000 instead of 22).
+        mc_batch = args.mc_batch or 100
         metric = "certify_1_image_n1000_sigma0.5_fullscale_int8_seconds"
         peak = chip_peak_tflops(jax.devices()[0])
         # the <10 s v4-8 target expressed in this chip's compute

@@ -226,34 +226,14 @@ def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.nda
 
     hidden = L.layer_norm(lp["norm1"], x, cfg.layer_norm_eps)
     aq = cfg.act_quant
-    if cfg.attn_impl == "flash_cls" and (s - 1) % 128 == 0:
-        # r3 production kernel: split the cls token out so the patch
-        # block is EXACTLY (S-1) = k*128 — no sequence padding, no
-        # masks. The split happens on `hidden` BEFORE the qkv einsum, so
-        # the matmul itself writes the kernel's operands (Pallas inputs
-        # must be materialized: post-matmul slices cost three full
-        # [B,H,S,Dp] copies, measured 6.3 ms/layer-call — more than the
-        # kernel). The softmax scale * log2(e) folds into the q weights
-        # and the kernel runs exp2 (ops/flash_attention.py::
-        # cls_split_attention: 5.5 ms vs 12.0 ms builtin at certify
-        # shapes). Exact XLA fallback off-TPU.
-        from certifiedgpt_tpu.ops.flash_attention import (
-            CLS_SPLIT_Q_PREMUL_LOG2E,
-            cls_split_attention,
-        )
-
-        prem = (dh ** -0.5) * CLS_SPLIT_Q_PREMUL_LOG2E
-        hc, hp = hidden[:, :1], hidden[:, 1:]
-        qp, kp, vp = _qkv_headpadded(lp, hp, cfg, q_premul=prem)
-        qc, kc, vc = _qkv_headpadded(lp, hc, cfg, q_premul=prem)
-        attn_p = cls_split_attention(qp, kp, vp, qc, kc, vc)
-        attn = jnp.transpose(attn_p[..., :dh], (0, 2, 1, 3))  # [B,S,H,dh]
-    elif cfg.attn_impl in ("flash", "flash_cls"):
+    if cfg.attn_impl in ("flash", "flash_cls"):
         # jax's built-in TPU flash kernel with full-sequence blocks —
         # measured 2.2x over the XLA path at ViT-g/448 certify batches —
         # fed by the head-padded fused qkv (no transpose/pad pass; see
         # _qkv_headpadded). XLA fallback off-TPU. ("flash_cls" lands
-        # here when S-1 is not a lane multiple.)
+        # here only when S-1 is not a lane multiple — the eligible case
+        # routes to the split-stream scan in eva_vit_apply before any
+        # block runs.)
         from certifiedgpt_tpu.ops.flash_attention import (
             builtin_flash_attention_bhsd,
         )
@@ -292,6 +272,57 @@ def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.nda
     return x + hidden
 
 
+def _vit_block_split(
+    xc: jnp.ndarray,  # [B, 1, D] cls residual stream
+    xp: jnp.ndarray,  # [B, N, D] patch residual stream
+    lp: Dict[str, Any],
+    cfg: EvaViTConfig,
+):
+    """The flash_cls layer on a SPLIT residual stream.
+
+    r3 production path: the cls/patch split lives across the WHOLE
+    tower — patchify emits the parts separately and they only
+    concatenate once after the last layer — so no per-layer slice or
+    concat copies exist at all. LN/MLP/residual are per-token and apply
+    to each part independently; attention consumes both parts via the
+    cls-split kernel (ops/flash_attention.py::cls_split_attention_parts:
+    the qkv einsums on each part write the kernel's operands directly —
+    Pallas inputs must be materialized, so any post-matmul slice would
+    cost full-tensor copies, measured 6.3 ms/layer-call at certify
+    shapes). Softmax scale * log2(e) is folded into the q weights; the
+    kernel runs exp2.
+    """
+    from certifiedgpt_tpu.ops.flash_attention import (
+        CLS_SPLIT_Q_PREMUL_LOG2E,
+        cls_split_attention_parts,
+    )
+
+    b = xp.shape[0]
+    d, dh = cfg.embed_dim, cfg.head_dim
+    aq = cfg.act_quant
+    prem = (dh ** -0.5) * CLS_SPLIT_Q_PREMUL_LOG2E
+
+    hc = L.layer_norm(lp["norm1"], xc, cfg.layer_norm_eps)
+    hp = L.layer_norm(lp["norm1"], xp, cfg.layer_norm_eps)
+    qp, kp, vp = _qkv_headpadded(lp, hp, cfg, q_premul=prem)
+    qc, kc, vc = _qkv_headpadded(lp, hc, cfg, q_premul=prem)
+    out_c, out_p = cls_split_attention_parts(qp, kp, vp, qc, kc, vc)
+    attn_p = jnp.transpose(out_p[..., :dh], (0, 2, 1, 3)).reshape(b, -1, d)
+    attn_c = jnp.transpose(out_c[..., :dh], (0, 2, 1, 3)).reshape(b, 1, d)
+    xp = xp + L.dense(lp["proj"], attn_p, act_quant=aq)
+    xc = xc + L.dense(lp["proj"], attn_c, act_quant=aq)
+
+    hp = L.layer_norm(lp["norm2"], xp, cfg.layer_norm_eps)
+    hc = L.layer_norm(lp["norm2"], xc, cfg.layer_norm_eps)
+    xp = xp + L.dense(
+        lp["fc2"], L.gelu(L.dense(lp["fc1"], hp, act_quant=aq)), act_quant=aq
+    )
+    xc = xc + L.dense(
+        lp["fc2"], L.gelu(L.dense(lp["fc1"], hc, act_quant=aq)), act_quant=aq
+    )
+    return xc, xp
+
+
 def eva_vit_apply(
     params: Dict[str, Any], cfg: EvaViTConfig, images: jnp.ndarray
 ) -> jnp.ndarray:
@@ -302,6 +333,23 @@ def eva_vit_apply(
     cls = jnp.broadcast_to(
         params["cls_token"].astype(x.dtype), (b, 1, cfg.embed_dim)
     )
+
+    if cfg.attn_impl == "flash_cls" and cfg.num_patches % 128 == 0:
+        # split-stream tower (see _vit_block_split): parts join only once
+        pos = params["pos_embed"].astype(x.dtype)
+        xc = cls + pos[:, :1]
+        xp = x + pos[:, 1:]
+
+        block = _vit_block_split
+        if cfg.remat:
+            block = jax.checkpoint(_vit_block_split, static_argnums=(3,))
+
+        def step_split(carry, lp):
+            return block(carry[0], carry[1], lp, cfg), None
+
+        (xc, xp), _ = lax.scan(step_split, (xc, xp), params["layers"])
+        return jnp.concatenate([xc, xp], axis=1)
+
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(x.dtype)
 

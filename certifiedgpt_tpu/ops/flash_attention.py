@@ -290,14 +290,14 @@ def _cls_split_kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, out_ref):
 CLS_SPLIT_Q_PREMUL_LOG2E = float(np.log2(np.e))
 
 
-def cls_split_attention(
+def cls_split_attention_parts(
     qp: jnp.ndarray,  # [B, H, N, Dp] patch queries, PRE-SCALED (see note)
     kp: jnp.ndarray,  # [B, H, N, Dp]
     vp: jnp.ndarray,
     qc: jnp.ndarray,  # [B, H, 1, Dp] cls query (pre-scaled)
     kc: jnp.ndarray,  # [B, H, 1, Dp]
     vc: jnp.ndarray,
-) -> jnp.ndarray:
+):
     """Exact-sequence attention for ViT's [cls + N patches] tokens.
 
     EVA ViT-g's S = 1025 forces the generic kernels to pad 1025->1152
@@ -319,8 +319,10 @@ def cls_split_attention(
 
     Measured (v5e, B=50, H=16, N=1024, Dp=128): 5.5 ms vs 12.0 ms for
     the builtin full-seq-block kernel fed from the same operands.
-    Returns [B, H, 1+N, Dp] with the cls row FIRST (the model's token
-    order). Off-TPU: exact XLA fallback.
+    Returns ``(out_cls [B,H,1,Dp], out_patches [B,H,N,Dp])`` — the
+    split-stream tower (``models/eva_vit.py::_vit_block_split``) keeps
+    the parts separate so no concat copy exists per layer. Off-TPU:
+    exact XLA fallback.
     """
     b, h, n, d = qp.shape
     ln2 = float(np.log(2.0))
@@ -335,7 +337,8 @@ def cls_split_attention(
         k = jnp.concatenate([kc, kp], axis=2)
         v = jnp.concatenate([vc, vp], axis=2)
         out = multi_head_attention(bshd(q), bshd(k), bshd(v), scale=ln2)
-        return jnp.transpose(out, (0, 2, 1, 3))
+        out = jnp.transpose(out, (0, 2, 1, 3))
+        return out[:, :, :1], out[:, :, 1:]
 
     tile_q = next(t for t in (512, 256, 128) if n % t == 0)
     kc8 = jnp.pad(kc, ((0, 0), (0, 0), (0, 7), (0, 0)))
@@ -384,7 +387,18 @@ def cls_split_attention(
         )
         + w_c * vc.astype(jnp.float32)
     ) / denom
-    return jnp.concatenate([out_c.astype(out_p.dtype), out_p], axis=2)
+    return out_c.astype(out_p.dtype), out_p
+
+
+def cls_split_attention(
+    qp: jnp.ndarray, kp: jnp.ndarray, vp: jnp.ndarray,
+    qc: jnp.ndarray, kc: jnp.ndarray, vc: jnp.ndarray,
+) -> jnp.ndarray:
+    """Concatenated-convenience form of ``cls_split_attention_parts``:
+    returns [B, H, 1+N, Dp] with the cls row FIRST (the model's token
+    order). Production uses the parts form (no concat copy)."""
+    out_c, out_p = cls_split_attention_parts(qp, kp, vp, qc, kc, vc)
+    return jnp.concatenate([out_c, out_p], axis=2)
 
 
 def builtin_flash_attention_bhsd(
