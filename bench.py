@@ -206,7 +206,15 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    import os
+
     import jax
+
+    if os.environ.get("CERTGPT_BENCH_PLATFORM"):
+        # test hook: this image's sitecustomize pins jax to the TPU
+        # plugin, so the CPU-backend watchdog tests must override via
+        # jax.config (env vars are ignored — see tests/conftest.py)
+        jax.config.update("jax_platforms", os.environ["CERTGPT_BENCH_PLATFORM"])
 
     from certifiedgpt_tpu.data.text import ByteTokenizer
     from certifiedgpt_tpu.models.minigpt4 import MiniGPT4Config, init_minigpt4
@@ -301,5 +309,118 @@ def main(argv=None):
     )
 
 
+def _probe_device(timeout_s: float) -> bool:
+    """True iff a trivial device op completes within ``timeout_s``.
+
+    Run in a SUBPROCESS so a hung axon tunnel (observed to stall for
+    5-30 min stretches) cannot wedge the watchdog itself.
+    """
+    import os
+    import subprocess
+
+    platform = os.environ.get("CERTGPT_BENCH_PLATFORM")
+    bootstrap = (
+        f"import jax; jax.config.update('jax_platforms', {platform!r}); "
+        if platform
+        else "import jax; "
+    )
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                bootstrap
+                + "import jax.numpy as jnp;"
+                "print(float(jnp.sum(jnp.ones((4, 4)))))",
+            ],
+            capture_output=True,
+            timeout=timeout_s,
+        )
+        return proc.returncode == 0
+    except Exception:
+        return False
+
+
+def _watchdog_main():
+    """Driver entry: supervise the measurement in a child process.
+
+    The driver invokes ``python bench.py`` exactly once per round; the
+    tunneled TPU in this image intermittently hangs long enough to eat
+    that one shot. The parent therefore (1) health-gates the tunnel with
+    a tiny subprocess op, (2) runs the real benchmark as a child with a
+    hard timeout, and (3) retries within a total budget, emitting the
+    child's single stdout JSON line on success. Nothing is ever killed
+    by pattern — only the child PID via ``subprocess`` timeout handling.
+
+    ``--direct`` (or the child's own env marker) bypasses supervision.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("CERTGPT_BENCH_CHILD") or "--direct" in sys.argv:
+        main([a for a in sys.argv[1:] if a != "--direct"])
+        return
+
+    budget_s = float(os.environ.get("CERTGPT_BENCH_BUDGET_S", 2400))
+    attempt_timeout_s = float(os.environ.get("CERTGPT_BENCH_ATTEMPT_S", 1500))
+    deadline = time.time() + budget_s
+    env = dict(os.environ, CERTGPT_BENCH_CHILD="1")
+    attempt = 0
+    child_failures = 0
+    while True:
+        remaining = deadline - time.time()
+        if remaining <= 60:
+            print(
+                f"bench watchdog: budget exhausted after {attempt} attempts",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        if not _probe_device(min(150.0, remaining)):
+            print("bench watchdog: tunnel unhealthy, waiting", file=sys.stderr)
+            time.sleep(min(45.0, max(1.0, deadline - time.time())))
+            continue
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, sys.argv[0], *sys.argv[1:]],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=min(attempt_timeout_s, remaining),
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench watchdog: attempt {attempt} timed out",
+                file=sys.stderr,
+            )
+            continue
+        sys.stderr.write(proc.stderr[-4000:])
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.strip().splitlines())
+                if ln.startswith("{") and '"metric"' in ln
+            ),
+            None,
+        )
+        if proc.returncode == 0 and line:
+            print(line)
+            return
+        # a non-timeout child failure is likely deterministic (bad args,
+        # OOM, code bug) — retrying forever would burn the whole budget;
+        # timeouts (tunnel hangs) keep retrying above
+        child_failures += 1
+        print(
+            f"bench watchdog: attempt {attempt} failed rc={proc.returncode}",
+            file=sys.stderr,
+        )
+        if child_failures >= 3:
+            print(
+                "bench watchdog: repeated child failures, giving up",
+                file=sys.stderr,
+            )
+            sys.exit(proc.returncode or 1)
+
+
 if __name__ == "__main__":
-    main()
+    _watchdog_main()

@@ -265,9 +265,8 @@ def _vit_block(x: jnp.ndarray, lp: Dict[str, Any], cfg: EvaViTConfig) -> jnp.nda
     x = x + L.dense(lp["proj"], attn.reshape(b, s, d), act_quant=aq)
 
     hidden = L.layer_norm(lp["norm2"], x, cfg.layer_norm_eps)
-    hidden = L.dense(
-        lp["fc2"], L.gelu(L.dense(lp["fc1"], hidden, act_quant=aq)),
-        act_quant=aq,
+    hidden = L.gelu_dense(
+        lp["fc2"], L.dense(lp["fc1"], hidden, act_quant=aq), act_quant=aq
     )
     return x + hidden
 
@@ -314,11 +313,11 @@ def _vit_block_split(
 
     hp = L.layer_norm(lp["norm2"], xp, cfg.layer_norm_eps)
     hc = L.layer_norm(lp["norm2"], xc, cfg.layer_norm_eps)
-    xp = xp + L.dense(
-        lp["fc2"], L.gelu(L.dense(lp["fc1"], hp, act_quant=aq)), act_quant=aq
+    xp = xp + L.gelu_dense(
+        lp["fc2"], L.dense(lp["fc1"], hp, act_quant=aq), act_quant=aq
     )
-    xc = xc + L.dense(
-        lp["fc2"], L.gelu(L.dense(lp["fc1"], hc, act_quant=aq)), act_quant=aq
+    xc = xc + L.gelu_dense(
+        lp["fc2"], L.dense(lp["fc1"], hc, act_quant=aq), act_quant=aq
     )
     return xc, xp
 

