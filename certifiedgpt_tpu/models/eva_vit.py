@@ -144,7 +144,7 @@ def patchify(images: jnp.ndarray, cfg: EvaViTConfig) -> jnp.ndarray:
 
 def _qkv_headpadded(
     lp: Dict[str, Any], hidden: jnp.ndarray, cfg: EvaViTConfig,
-    q_premul: float = 1.0,
+    q_premul: float = 1.0, ln: Dict[str, Any] = None,
 ):
     """Emit q, k, v directly in the flash kernel's [B, H, S, Dp] layout.
 
@@ -164,6 +164,11 @@ def _qkv_headpadded(
     b, s, _ = hidden.shape
     h, dh = cfg.num_heads, cfg.head_dim
     dp = -(-dh // 128) * 128
+    if ln is not None and not ("kernel_q" in lp["qkv"] and cfg.act_quant):
+        # only the W8A8 branch fuses the LN (ln_quant_rows below); the
+        # bf16/weight-only paths apply it here so callers can always
+        # hand over the raw residual stream
+        hidden = L.layer_norm(ln, hidden, cfg.layer_norm_eps)
 
     def pad_w(w, premul=False):  # [K, 3*H*dh] -> [K, 3, H, dp]
         w4 = w.reshape(w.shape[0], 3, h, dh)
@@ -181,9 +186,20 @@ def _qkv_headpadded(
 
     p = lp["qkv"]
     if "kernel_q" in p and cfg.act_quant:
-        from certifiedgpt_tpu.ops.quantization import quantize_rows
+        from certifiedgpt_tpu.ops.quantization import (
+            ln_quant_rows,
+            quantize_rows,
+        )
 
-        xq, xs = quantize_rows(hidden)
+        if ln is not None:
+            # serving split-stream path: pre-attention LN and the
+            # activation quant fuse into one Pallas HBM pass
+            # (ops/quantization.ln_quant_rows; exact XLA fallback)
+            xq, xs = ln_quant_rows(
+                hidden, ln["scale"], ln["bias"], cfg.layer_norm_eps
+            )
+        else:
+            xq, xs = quantize_rows(hidden)
         acc = jnp.einsum(
             "bsk,kthd->tbhsd", xq, pad_w(p["kernel_q"]),
             preferred_element_type=jnp.float32,
@@ -301,23 +317,23 @@ def _vit_block_split(
     aq = cfg.act_quant
     prem = (dh ** -0.5) * CLS_SPLIT_Q_PREMUL_LOG2E
 
-    hc = L.layer_norm(lp["norm1"], xc, cfg.layer_norm_eps)
-    hp = L.layer_norm(lp["norm1"], xp, cfg.layer_norm_eps)
-    qp, kp, vp = _qkv_headpadded(lp, hp, cfg, q_premul=prem)
-    qc, kc, vc = _qkv_headpadded(lp, hc, cfg, q_premul=prem)
+    qp, kp, vp = _qkv_headpadded(lp, xp, cfg, q_premul=prem, ln=lp["norm1"])
+    qc, kc, vc = _qkv_headpadded(lp, xc, cfg, q_premul=prem, ln=lp["norm1"])
     out_c, out_p = cls_split_attention_parts(qp, kp, vp, qc, kc, vc)
     attn_p = jnp.transpose(out_p[..., :dh], (0, 2, 1, 3)).reshape(b, -1, d)
     attn_c = jnp.transpose(out_c[..., :dh], (0, 2, 1, 3)).reshape(b, 1, d)
     xp = xp + L.dense(lp["proj"], attn_p, act_quant=aq)
     xc = xc + L.dense(lp["proj"], attn_c, act_quant=aq)
 
-    hp = L.layer_norm(lp["norm2"], xp, cfg.layer_norm_eps)
-    hc = L.layer_norm(lp["norm2"], xc, cfg.layer_norm_eps)
     xp = xp + L.gelu_dense(
-        lp["fc2"], L.dense(lp["fc1"], hp, act_quant=aq), act_quant=aq
+        lp["fc2"],
+        L.ln_dense(lp["fc1"], xp, lp["norm2"], cfg.layer_norm_eps, act_quant=aq),
+        act_quant=aq,
     )
     xc = xc + L.gelu_dense(
-        lp["fc2"], L.dense(lp["fc1"], hc, act_quant=aq), act_quant=aq
+        lp["fc2"],
+        L.ln_dense(lp["fc1"], xc, lp["norm2"], cfg.layer_norm_eps, act_quant=aq),
+        act_quant=aq,
     )
     return xc, xp
 

@@ -169,6 +169,39 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+def ln_dense(
+    params,
+    x: jnp.ndarray,
+    ln_params,
+    eps: float = 1e-6,
+    act_quant: bool = False,
+) -> jnp.ndarray:
+    """``dense(params, layer_norm(ln_params, x))`` with, on the W8A8
+    path, the LN and the per-row activation quant fused into one Pallas
+    HBM pass (ops/quantization.ln_quant_rows — the qkv/fc1 input glue
+    of the serving tower, docs/DESIGN.md §8). Forward-only on that path,
+    like the inline quantize_rows consumers it replaces; the fallback
+    reproduces the unfused chain exactly."""
+    if "kernel_q" in params and act_quant:
+        from certifiedgpt_tpu.ops.quantization import ln_quant_rows
+
+        xq, xs = ln_quant_rows(
+            x, ln_params["scale"], ln_params["bias"], eps
+        )
+        out = (
+            jnp.einsum(
+                "...i,io->...o", xq, params["kernel_q"],
+                preferred_element_type=jnp.float32,
+            )
+            * xs
+            * params["scale"]
+        ).astype(x.dtype)
+        if "bias" in params:
+            out = out + params["bias"].astype(out.dtype)
+        return out
+    return dense(params, layer_norm(ln_params, x, eps), act_quant=act_quant)
+
+
 def gelu_dense(params, x: jnp.ndarray, act_quant: bool = False) -> jnp.ndarray:
     """``dense(params, gelu(x))`` with, on the W8A8 path, the gelu and
     the per-row activation quant fused into one Pallas HBM pass

@@ -287,3 +287,48 @@ def test_w8a8_gelu_matmul_gradient_matches_fp_gelu_matmul():
     )
     assert cos > 0.99
     assert np.abs(g_q - g_fp).max() / (np.abs(g_fp).max() + 1e-12) < 0.1
+
+
+def test_ln_quant_rows_kernel_matches_xla_chain():
+    """The fused Pallas LN+row-quant (interpret mode on CPU) vs the
+    exact chain — same fp32 ops, only reduction order differs."""
+    from certifiedgpt_tpu.models import layers as L
+    from certifiedgpt_tpu.ops.quantization import ln_quant_rows
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(256, 384).astype(np.float32) * 2).astype(
+        jnp.bfloat16
+    )
+    scale = jnp.asarray(1.0 + 0.1 * rng.randn(384).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.randn(384).astype(np.float32))
+
+    xq_k, xs_k = ln_quant_rows(x, scale, bias, eps=1e-6, interpret=True)
+    ln = {"scale": scale, "bias": bias}
+    xq_r, xs_r = quantize_rows(L.layer_norm(ln, x, eps=1e-6))
+    np.testing.assert_allclose(
+        np.asarray(xs_k), np.asarray(xs_r), rtol=1e-4
+    )
+    assert np.abs(
+        np.asarray(xq_k, np.int32) - np.asarray(xq_r, np.int32)
+    ).max() <= 1
+
+
+def test_ln_dense_matches_dense_of_layer_norm():
+    """layers.ln_dense (CPU -> XLA fallback) must equal
+    dense(layer_norm(x)) bit-for-bit on quantized and fp leaves."""
+    from certifiedgpt_tpu.models import layers as L
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(10, 24).astype(np.float32))
+    ln = L.init_layer_norm(24)
+    params = L.init_dense(jax.random.PRNGKey(9), 24, 16)
+    qp = dict(quantize_kernel(params["kernel"]))
+    qp["bias"] = params["bias"]
+
+    fused = L.ln_dense(qp, x, ln, act_quant=True)
+    chain = L.dense(qp, L.layer_norm(ln, x), act_quant=True)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(chain))
+
+    fused_fp = L.ln_dense(params, x, ln)
+    chain_fp = L.dense(params, L.layer_norm(ln, x))
+    np.testing.assert_array_equal(np.asarray(fused_fp), np.asarray(chain_fp))
