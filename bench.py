@@ -380,6 +380,10 @@ def _watchdog_main():
             time.sleep(min(45.0, max(1.0, deadline - time.time())))
             continue
         attempt += 1
+        # the probe above can itself take up to 150 s — recompute the
+        # leftover budget so the child's timeout can't overshoot the
+        # deadline by the probe's duration
+        remaining = max(1.0, deadline - time.time())
         try:
             proc = subprocess.run(
                 [sys.executable, sys.argv[0], *sys.argv[1:]],

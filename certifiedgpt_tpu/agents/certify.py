@@ -47,6 +47,13 @@ def certify_seed(base_seed: int, index: int, sigma: float) -> int:
     sweep's rows would be correlated estimates. Folding sigma's bit
     pattern through a 64-bit finalizer makes every (image, sigma) cell
     an independent stream (docs/DESIGN.md §4).
+
+    62 bits are kept: truncating to 31 would make birthday collisions
+    likely at dataset scale (~95 expected colliding pairs over 214k
+    VQAv2 questions x a 3-sigma grid — byte-identical noise streams,
+    exactly the correlation this function removes), while bit 63 stays
+    clear so ``seed + _ESTIMATION_SEED_OFFSET`` (smoothing.py) can never
+    overflow int64.
     """
     sigma_bits = int(np.float64(sigma).view(np.uint64))
     h = (base_seed * 0x9E3779B97F4A7C15 + index) & 0xFFFFFFFFFFFFFFFF
@@ -54,7 +61,7 @@ def certify_seed(base_seed: int, index: int, sigma: float) -> int:
     # splitmix64 finalizer
     h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
     h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-    return int((h ^ (h >> 31)) & 0x7FFFFFFF)
+    return int((h ^ (h >> 31)) & 0x3FFFFFFFFFFFFFFF)
 
 
 class SmoothedVQAAgentBase(BaseAgent):
@@ -304,7 +311,10 @@ class CertifyAgent(SmoothedVQAAgentBase):
         equally valid (i.i.d. draws either way) but the RNG stream
         differs from the serial mode, so label/radius outputs are not
         bit-identical across the two modes at sigma > 0."""
-        from certifiedgpt_tpu.smoothing.continuous import ContinuousCertifier
+        from certifiedgpt_tpu.smoothing.continuous import (
+            ContinuousCertifier,
+            LazySlice,
+        )
 
         if "mixed_gen" not in self._gen_cache:
             from certifiedgpt_tpu.smoothing.continuous import (
@@ -318,6 +328,7 @@ class CertifyAgent(SmoothedVQAAgentBase):
                 int(self.run_cfg.get("active_images", 8)),
                 seq_len=self.seq_len,
                 mesh=self.mesh,
+                noise_dist=self.noise_dist,
                 early_exit=self.early_exit,
             )
         certifier = ContinuousCertifier(
@@ -331,11 +342,16 @@ class CertifyAgent(SmoothedVQAAgentBase):
             seq_len=self.seq_len,
             num_slots=int(self.run_cfg.get("active_images", 8)),
             mesh=self.mesh,
+            noise_dist=self.noise_dist,
             early_exit=self.early_exit,
             window=int(self.run_cfg.get("dispatch_window", 4)),
             gen=self._gen_cache["mixed_gen"],
         )
-        items = [dataset[idx] for idx in range(limit)]
+        # lazy view: the scheduler pulls/decodes each image when it
+        # reaches a slot and drops it when its certificate lands —
+        # materializing dataset[:limit] up front would hold ~2.4 MB of
+        # pixels per image (tens of GB at VQAv2-val scale) in host RAM
+        items = LazySlice(dataset, limit)
         rows: List[Dict[str, Any]] = []
         results_path = os.path.join(self.output_dir, "certify_results.jsonl")
         t0 = time.time()
@@ -379,6 +395,9 @@ class CertifyAgent(SmoothedVQAAgentBase):
                 lambda item: self.build_vocab(item, dataset),
                 seed=certify_seed(self.seed, 0, self.sigma),
                 on_result=on_result,
+                # same profiling knobs as the serial loop, keyed on the
+                # dispatched chunk index (run.profile_step)
+                on_chunk=lambda ci: self.profiler.maybe_start(0, ci),
             )
         elapsed = time.time() - t0
         rows.sort(key=lambda r: r["index"])

@@ -280,10 +280,14 @@ def ln_quant_rows(
     The qkv/fc1 input glue of the W8A8 ViT serving tower (fp32 LN ->
     per-row absmax -> int8 round over [tokens, 1408]) costs ~2.1 ms
     in-graph per site at certify shapes through XLA; the fused Pallas
-    kernel brings the LN+quant+matmul composite from 10.7 to 9.1 ms
-    (bit-identical outputs — no approximations, same fp32 ops in a
-    different reduction order). Falls back to the exact XLA chain
-    off-TPU or when no tile divides the row count. Forward-only, like
+    kernel brings the LN+quant+matmul composite from 10.7 to 9.1 ms.
+    No approximations — the same fp32 LN math, rounded through bf16
+    before quantizing like the unfused chain — but the VPU may reduce
+    mean/variance in a different order than XLA, so outputs can differ
+    in the last fp32 ulp (which can flip an int8 round by 1; measured
+    identical at certify shapes, not guaranteed). Falls back to the
+    exact XLA chain off-TPU or when no tile divides the row count.
+    Forward-only, like
     the inline ``quantize_rows`` consumers it replaces (``round()`` has
     no useful gradient; nothing differentiates through the frozen
     serving tower).

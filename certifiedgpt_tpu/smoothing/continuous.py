@@ -58,6 +58,7 @@ def make_mixed_generate_fn(
     num_slots: int,
     seq_len: int = 64,
     mesh=None,
+    noise_dist: str = "gaussian",
     early_exit: bool = False,
 ):
     """Compiled mixed-chunk pipeline.
@@ -68,7 +69,9 @@ def make_mixed_generate_fn(
     assigns each row to a slot. Mirrors
     ``classifier.make_noisy_generate_fn`` (same noise/generate split —
     fusing the RNG into the decode graph crashes this image's TPU
-    backend) with the image/prompt tile replaced by a bank gather.
+    backend — and the same ``noise_dist`` semantics incl. the uniform
+    bug-compat mode) with the image/prompt tile replaced by a bank
+    gather.
     """
     cfg = model.cfg
     eos = model.tokenizer.eos_token_id
@@ -91,9 +94,13 @@ def make_mixed_generate_fn(
     @jax.jit
     def noise_fn(image_bank, row_slot, key, sigma_val):
         images = image_bank[row_slot]  # [mc, H, W, C] gather
-        images = images + sigma_val * jax.random.normal(
-            key, images.shape, images.dtype
-        )
+        if noise_dist == "uniform":
+            # same bug-compat semantics as the serial noise_fn
+            # (classifier.make_noisy_generate_fn)
+            draw = jax.random.uniform(key, images.shape, images.dtype)
+        else:
+            draw = jax.random.normal(key, images.shape, images.dtype)
+        images = images + sigma_val * draw
         if mc_sharding is not None:
             images = jax.lax.with_sharding_constraint(
                 images, mc_sharding(images.ndim)
@@ -126,6 +133,16 @@ def make_mixed_generate_fn(
 
     def fn(params, image_bank, ids_bank, am_bank, pos_bank, row_slot, key,
            sigma):
+        if ids_bank.shape != (num_slots, seq_len):
+            # every distinct (num_slots, prompt length) is a separate XLA
+            # compilation of the FULL pipeline (~minutes at scale) —
+            # reject the mismatch instead of silently re-tracing, like
+            # the serial pipeline's seq_len guard
+            raise ValueError(
+                f"ids_bank shape {ids_bank.shape} != (num_slots, seq_len) "
+                f"({num_slots}, {seq_len}): rebuild the banks to match "
+                "this gen's BatchSpec"
+            )
         images = noise_fn(image_bank, row_slot, key, jnp.float32(sigma))
         return gen_fn(params, images, ids_bank, am_bank, pos_bank, row_slot)
 
@@ -136,24 +153,52 @@ def make_mixed_generate_fn(
     return fn
 
 
+class LazySlice:
+    """``len``+``__getitem__`` view of ``dataset[:limit]`` that decodes
+    items on access — the certify agent passes this so the scheduler
+    never holds more than the active images in host RAM."""
+
+    def __init__(self, dataset, limit: int):
+        self._ds = dataset
+        self._limit = int(limit)
+
+    def __len__(self) -> int:
+        return self._limit
+
+    def __getitem__(self, idx: int):
+        if not 0 <= idx < self._limit:
+            raise IndexError(idx)
+        return self._ds[idx]
+
+
 class _ImageJob:
     __slots__ = (
         "index", "item", "vocab", "slot", "enqueued", "decoded",
         "sel_counts", "est_counts", "n0", "n", "result",
     )
 
-    def __init__(self, index, item, vocab, n0, n):
+    def __init__(self, index, n0, n):
+        # item/vocab are loaded LAZILY at slot-assignment time (``load``):
+        # materializing every decoded image up front would hold the whole
+        # dataset's pixels in host RAM (~2.4 MB/image at 448px — tens of
+        # GB at VQAv2-val scale) when only <= num_slots are ever active
         self.index = index
-        self.item = item
-        self.vocab = vocab
+        self.item: Optional[dict] = None
+        self.vocab = None
         self.slot: Optional[int] = None
         self.enqueued = 0  # draws dispatched
         self.decoded = 0  # draws whose labels landed
         self.n0 = n0
         self.n = n
+        self.sel_counts: Optional[np.ndarray] = None
+        self.est_counts: Optional[np.ndarray] = None
+        self.result: Optional[Dict[str, Any]] = None
+
+    def load(self, item: dict, vocab) -> None:
+        self.item = item
+        self.vocab = vocab
         self.sel_counts = np.zeros(vocab.num_classes, np.int64)
         self.est_counts = np.zeros(vocab.num_classes, np.int64)
-        self.result: Optional[Dict[str, Any]] = None
 
     @property
     def total(self) -> int:
@@ -193,6 +238,7 @@ class ContinuousCertifier:
         seq_len: int,
         num_slots: int = 8,
         mesh=None,
+        noise_dist: str = "gaussian",
         early_exit: bool = False,
         window: int = 4,
         gen=None,
@@ -206,7 +252,8 @@ class ContinuousCertifier:
         self.window = int(window)
         self.gen = gen or make_mixed_generate_fn(
             model, mc_batch, max_new_tokens, num_slots,
-            seq_len=seq_len, mesh=mesh, early_exit=early_exit,
+            seq_len=seq_len, mesh=mesh, noise_dist=noise_dist,
+            early_exit=early_exit,
         )
         cfg = model.cfg
         self._spec = BatchSpec(
@@ -249,24 +296,18 @@ class ContinuousCertifier:
         build_vocab,
         seed: int = 0,
         on_result: Optional[Callable[[dict, _ImageJob], None]] = None,
+        on_chunk: Optional[Callable[[int], None]] = None,
     ) -> List[Dict[str, Any]]:
-        jobs: deque = deque()
-        for idx, item in enumerate(items):
-            vocab = build_vocab(item)
-            job = _ImageJob(idx, item, vocab, self.n0, self.n)
-            if vocab.num_classes < 2:
-                # degenerate label set: abstain without spending draws
-                # (same guard as Smooth.certify)
-                job.result = {"label": ABSTAIN, "radius": 0.0, "index": idx}
-            jobs.append(job)
-
+        """``items`` is only INDEXED lazily (any ``len``+``__getitem__``
+        sequence works, incl. a torch-style dataset): each item's decoded
+        image is pulled when the job reaches a slot and dropped when its
+        result lands, so host RAM holds O(num_slots + window) images, not
+        the dataset. ``on_chunk(chunk_idx)`` fires before each dispatch
+        (the agent hooks the profiler there)."""
+        jobs: deque = deque(
+            _ImageJob(idx, self.n0, self.n) for idx in range(len(items))
+        )
         results: List[Optional[Dict[str, Any]]] = [None] * len(jobs)
-        for job in list(jobs):
-            if job.result is not None:
-                results[job.index] = job.result
-                if on_result:
-                    on_result(job.result, job)
-        jobs = deque(j for j in jobs if j.result is None)
 
         active: List[Optional[_ImageJob]] = [None] * self.num_slots
         decode_queue: deque = deque()  # (pending tokens, [jobs per row])
@@ -277,8 +318,23 @@ class ContinuousCertifier:
 
         def refill_slots():
             for slot in range(self.num_slots):
-                if active[slot] is None and jobs:
+                while active[slot] is None and jobs:
                     job = jobs.popleft()
+                    item = items[job.index]
+                    vocab = build_vocab(item)
+                    job.load(item, vocab)
+                    if vocab.num_classes < 2:
+                        # degenerate label set: abstain without spending
+                        # draws (same guard as Smooth.certify) — the slot
+                        # stays free for the next job
+                        job.result = {
+                            "label": ABSTAIN, "radius": 0.0,
+                            "index": job.index,
+                        }
+                        results[job.index] = job.result
+                        if on_result:
+                            on_result(job.result, job)
+                        continue
                     self._assign_slot(
                         job, slot,
                         wrap_instruction(job.item["instruction_input"]),
@@ -313,6 +369,8 @@ class ContinuousCertifier:
             rows, row_jobs = build_chunk()
             if not rows:
                 return False
+            if on_chunk:
+                on_chunk(chunk_idx)
             fill = len(rows)
             while len(rows) < self.mc_batch:  # tail of the whole run
                 rows.append(rows[-1])
@@ -352,6 +410,7 @@ class ContinuousCertifier:
                     results[job.index] = job.result
                     if on_result:
                         on_result(job.result, job)
+                    job.item = None  # release the decoded image's pixels
 
         missing = [i for i, r in enumerate(results) if r is None]
         if missing:

@@ -616,17 +616,32 @@ def main(argv=None):
     run_stage("llama", args.vicuna, verify_stage_llama, args.decoder_layers)
     run_stage("projection", args.stage2, verify_stage_projection)
 
+    def run_end_to_end(name, fn, *fn_args):
+        # same loud-per-stage contract as run_stage: a missing dataset
+        # path or agent failure must not abort the runbook after the
+        # conversion stages already succeeded — the report still prints
+        # and records which clauses remain undischarged
+        print(f"[RUN ] {name}")
+        try:
+            row = fn(*fn_args)
+        except Exception as exc:
+            # no "ok" key: conversion_parity_ok below aggregates only the
+            # conversion stages (their rows carry "ok")
+            row = {"stage": name, "error": repr(exc)}
+        report["stages"].append(row)
+        print(f"       -> {json.dumps(row)}")
+
     if args.run_eval:
-        print(f"[RUN ] eval subset ({args.eval_questions} questions)")
-        report["stages"].append(
-            run_eval_subset(args.eval_config, args.eval_questions, args.output_dir)
+        run_end_to_end(
+            f"eval subset ({args.eval_questions} questions)",
+            run_eval_subset, args.eval_config, args.eval_questions,
+            args.output_dir,
         )
     if args.run_certify:
-        print(f"[RUN ] certify subset ({args.certify_images} images)")
-        report["stages"].append(
-            run_certify_subset(
-                args.certify_config, args.certify_images, args.output_dir
-            )
+        run_end_to_end(
+            f"certify subset ({args.certify_images} images)",
+            run_certify_subset, args.certify_config, args.certify_images,
+            args.output_dir,
         )
 
     conv = [r for r in report["stages"] if "ok" in r]

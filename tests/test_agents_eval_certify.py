@@ -320,7 +320,13 @@ def test_certify_seed_folds_sigma():
     assert s1 != s2  # same image, different sigma -> distinct stream
     assert s1 != s3  # different image -> distinct stream
     assert s1 == certify_seed(42, 0, 0.25)  # deterministic
-    assert all(0 <= s < 2**31 for s in (s1, s2, s3))
+    # 62-bit range: 31 bits would make birthday collisions (identical
+    # noise streams for distinct (image, sigma) cells) likely at VQAv2
+    # scale, and bit 63 stays clear so seed + _ESTIMATION_SEED_OFFSET
+    # (smoothing.py) cannot overflow int64
+    assert all(0 <= s < 2**62 for s in (s1, s2, s3))
+    seeds = [certify_seed(42, i, 0.5) for i in range(64)]
+    assert any(s >= 2**31 for s in seeds), "seed range truncated"
 
 
 def test_sigma_sweep_rows_use_distinct_seeds(eval_setup, monkeypatch):
@@ -472,3 +478,117 @@ def test_continuous_certify_sigma_sweep_shares_compile(eval_setup):
 
     gen = agent._gen_cache["mixed_gen"]
     assert jit_cache_size(gen) == 1, "sigma sweep recompiled the mixed gen"
+
+
+def test_continuous_items_pulled_lazily(eval_setup, monkeypatch):
+    """The scheduler must pull dataset items LAZILY (at slot-assignment
+    time), not materialize dataset[:limit] up front — at VQAv2 scale the
+    eager list holds tens of GB of pixels in host RAM. Also pins the
+    on_chunk -> profiler wiring: chunk events must interleave with item
+    pulls."""
+    from certifiedgpt_tpu.common.profiling import Profiler
+    from certifiedgpt_tpu.smoothing import continuous as cont_mod
+
+    events = []
+    orig_get = cont_mod.LazySlice.__getitem__
+    monkeypatch.setattr(
+        cont_mod.LazySlice, "__getitem__",
+        lambda self, idx: (events.append(("item", idx)),
+                           orig_get(self, idx))[1],
+    )
+    orig_start = Profiler.maybe_start
+    monkeypatch.setattr(
+        Profiler, "maybe_start",
+        lambda self, epoch, step: (events.append(("chunk", step)),
+                                   orig_start(self, epoch, step))[1],
+    )
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            continuous=True,
+            active_images=2,
+            certify_n0=3,
+            certify_n=5,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=6,
+        )
+    )
+    summary = agent.run()
+    assert summary["total"] == 6
+    item_pulls = [e[1] for e in events if e[0] == "item"]
+    assert sorted(item_pulls) == list(range(6)), "each item pulled once"
+    # with 2 slots x 8 draws vs mc_batch=4, the first chunk dispatches
+    # after only the first 2 items are loaded; later items load as slots
+    # free up — so a chunk event must precede the LAST item pull
+    first_chunk = events.index(("chunk", 0))
+    last_item = max(i for i, e in enumerate(events) if e[0] == "item")
+    assert first_chunk < last_item, "items were all materialized up front"
+
+
+def test_continuous_honors_noise_dist(eval_setup):
+    """run.noise_dist must reach the mixed-chunk pipeline: with
+    ``uniform``, draws are non-negative so a zero image bank stays
+    non-negative after noising; Gaussian would go negative (the serial
+    pipeline's bug-compat semantics, classifier.make_noisy_generate_fn)."""
+    import jax
+    import jax.numpy as jnp
+
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            continuous=True,
+            active_images=2,
+            certify_n0=3,
+            certify_n=5,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=2,
+            noise_dist="uniform",
+        )
+    )
+    agent.run()
+    gen = agent._gen_cache["mixed_gen"]
+    img = agent.model.cfg.vit.img_size
+    bank = jnp.zeros((2, img, img, 3), jnp.float32)
+    rows = jnp.zeros((4,), jnp.int32)
+    noisy = gen.noise_fn(bank, rows, jax.random.PRNGKey(0), jnp.float32(0.5))
+    assert float(noisy.min()) >= 0.0, "uniform noise_dist not honored"
+    assert float(noisy.max()) > 0.0
+
+
+def test_mixed_gen_rejects_bank_shape_mismatch(eval_setup):
+    """Every distinct (num_slots, seq_len) is a separate full-pipeline
+    XLA compilation — the mixed gen must reject mismatched banks loudly
+    instead of silently retracing (same guard as the serial pipeline)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            continuous=True,
+            active_images=2,
+            certify_n0=3,
+            certify_n=5,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=2,
+        )
+    )
+    agent.run()
+    gen = agent._gen_cache["mixed_gen"]
+    img = agent.model.cfg.vit.img_size
+    bank = jnp.zeros((2, img, img, 3), jnp.float32)
+    bad_ids = jnp.zeros((2, 17), jnp.int32)  # wrong seq_len
+    am = jnp.ones((2, 17), jnp.int32)
+    pos = jnp.zeros((2,), jnp.int32)
+    with pytest.raises(ValueError, match="ids_bank"):
+        gen(
+            agent.model.params, bank, bad_ids, am, pos,
+            jnp.zeros((4,), jnp.int32), jax.random.PRNGKey(0), 0.5,
+        )
