@@ -33,7 +33,12 @@ class BaseAgent:
         os.makedirs(self.output_dir, exist_ok=True)
 
         n_model = int(self.run_cfg.get("model_parallel", 1))
-        self.mesh = make_mesh(n_model=n_model)
+        # run.dcn_parallel: number of TPU slices to span with a leading
+        # 'dcn' mesh axis (batch/MC only — model parallelism stays inside
+        # a slice). 0/absent auto-detects from device slice_index, so a
+        # real multislice job gets the hybrid mesh without config changes.
+        n_dcn = int(self.run_cfg.get("dcn_parallel", 0)) or None
+        self.mesh = make_mesh(n_model=n_model, n_dcn=n_dcn)
 
         self.model = self.build_model()
         self.loss_history: Dict[str, list] = {"train": [], "val": []}

@@ -96,9 +96,11 @@ class SmoothedVQAAgentBase(BaseAgent):
         if finetuned is not None:
             self.model.params["llama_proj"] = finetuned["llama_proj"]
 
-        # keep mc_batch compatible with the mesh data axis (the MC axis
-        # shards over it) instead of failing at the first image
-        n_data = self.mesh.shape.get("data", 1)
+        # keep mc_batch compatible with the mesh batch axes (the MC axis
+        # shards over dcn x data) instead of failing at the first image
+        from certifiedgpt_tpu.parallel.mesh import batch_divisor
+
+        n_data = batch_divisor(self.mesh)
         if n_data > 1 and self.mc_batch % n_data != 0:
             rounded = max((self.mc_batch // n_data), 1) * n_data
             self.logger.warning(

@@ -253,7 +253,9 @@ class EvalAgent(BaseAgent):
             # compiled generate graph serves every step (a second shape
             # means a second multi-minute XLA compile at full scale);
             # padded rows are dropped after decode
-            n_data = self.mesh.shape.get("data", 1)
+            from certifiedgpt_tpu.parallel.mesh import batch_divisor
+
+            n_data = batch_divisor(self.mesh)
             pad_to = -(-self.batch_size // n_data) * n_data
             if n < pad_to:
                 reps = pad_to - n

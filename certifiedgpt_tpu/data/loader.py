@@ -200,7 +200,11 @@ def shard_batch(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n_data = mesh.shape.get(data_axis, 1) if mesh is not None else 1
+    from certifiedgpt_tpu.parallel.mesh import batch_divisor, batch_spec
+
+    n_data = batch_divisor(mesh) if data_axis == "data" else (
+        mesh.shape.get(data_axis, 1) if mesh is not None else 1
+    )
     multiprocess = mesh is not None and jax.process_count() > 1
     out: Dict[str, Any] = {}
     for key, value in batch.items():
@@ -208,7 +212,12 @@ def shard_batch(
             if mesh is None:
                 out[key] = jax.numpy.asarray(value)
             else:
-                spec = P(data_axis, *([None] * (value.ndim - 1)))
+                # spans ("dcn", "data") on a multislice mesh
+                spec = (
+                    batch_spec(mesh, value.ndim)
+                    if data_axis == "data"
+                    else P(data_axis, *([None] * (value.ndim - 1)))
+                )
                 sharding = NamedSharding(mesh, spec)
                 if multiprocess:
                     out[key] = jax.make_array_from_process_local_data(

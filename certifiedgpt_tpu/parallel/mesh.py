@@ -7,10 +7,20 @@ mesh: parameters replicated (or sharded) with ``NamedSharding``, batches
 split over the ``data`` axis, XLA inserting the ICI collectives.
 
 Axes:
+- ``dcn``   — optional multislice axis: slices of a TPU pod connected by
+  data-center network instead of ICI. Only the batch/MC axis spans it
+  (collectives over DCN are ~10x slower than ICI, so parameter-sharded
+  axes must stay inside a slice — the scaling-book hybrid-mesh recipe).
 - ``data``  — batch / Monte-Carlo noise-draw axis (the certification
   n-sample axis shards here; SURVEY.md §5.7).
 - ``model`` — optional tensor-parallel axis for the frozen 7B decoder
   when a single device cannot hold it (survey §2.8 TP note).
+
+The batch dimension shards over ``("dcn", "data")`` when a dcn axis
+exists (``batch_spec``), so one set of shardings serves both mesh
+shapes. For certification this is embarrassingly parallel — each draw's
+forward touches no other draw, and only the tiny per-chunk count gather
+crosses DCN — which is why the MC axis scales across slices at all.
 """
 
 from __future__ import annotations
@@ -22,24 +32,87 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def detect_num_slices(devices: Sequence) -> int:
+    """Number of distinct TPU slices among ``devices``.
+
+    Real multislice jobs expose ``device.slice_index``; single-slice and
+    CPU devices don't (or share one value), yielding 1.
+    """
+    indices = {getattr(d, "slice_index", 0) or 0 for d in devices}
+    return max(len(indices), 1)
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence] = None,
+    n_dcn: Optional[int] = 1,
 ) -> Mesh:
+    """Build the device mesh.
+
+    ``n_dcn=1`` (default) gives the 2-axis ``(data, model)`` mesh.
+    ``n_dcn>1`` adds a leading ``dcn`` axis whose rows are whole slices:
+    devices are grouped by ``slice_index`` when present (real multislice)
+    or split contiguously (virtual CPU meshes), so the ``data``/``model``
+    axes never straddle a DCN link. ``n_dcn=None`` auto-detects from
+    ``slice_index``.
+    """
     devices = list(devices if devices is not None else jax.devices())
+    if n_dcn is None:
+        n_dcn = detect_num_slices(devices)
+    if n_dcn <= 1:
+        if n_data is None:
+            n_data = len(devices) // n_model
+        grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+        return Mesh(grid, ("data", "model"))
+
+    # keep slice-mates in one dcn row: sort by (slice_index, id) — a
+    # stable no-op for virtual devices, the DCN-correct order for real
+    # multislice
+    devices = sorted(
+        devices, key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id)
+    )
+    if len(devices) % n_dcn:
+        raise ValueError(
+            f"{len(devices)} devices cannot split into {n_dcn} slices"
+        )
+    per_slice = len(devices) // n_dcn
     if n_data is None:
-        n_data = len(devices) // n_model
-    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(grid, ("data", "model"))
+        n_data = per_slice // n_model
+    if n_data * n_model > per_slice:
+        raise ValueError(
+            f"data={n_data} x model={n_model} exceeds the {per_slice} "
+            f"devices of one slice (model parallelism must not cross DCN)"
+        )
+    grid = np.asarray(
+        [
+            devices[s * per_slice : s * per_slice + n_data * n_model]
+            for s in range(n_dcn)
+        ]
+    ).reshape(n_dcn, n_data, n_model)
+    return Mesh(grid, ("dcn", "data", "model"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_spec(mesh: Mesh, ndim: int) -> P:
+    """PartitionSpec sharding dim 0 over every batch axis of ``mesh``
+    (``("dcn", "data")`` on a multislice mesh, ``"data"`` otherwise)."""
+    axes = ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+    return P(axes, *([None] * (ndim - 1)))
+
+
+def batch_divisor(mesh: Optional[Mesh]) -> int:
+    """Total device count the batch/MC dimension shards over."""
+    if mesh is None:
+        return 1
+    return mesh.shape.get("data", 1) * mesh.shape.get("dcn", 1)
+
+
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    return NamedSharding(mesh, batch_spec(mesh, ndim))
 
 
 def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:

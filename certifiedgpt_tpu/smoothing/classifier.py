@@ -30,6 +30,7 @@ import numpy as np
 
 from certifiedgpt_tpu.data.loader import shard_batch
 from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch, clean_answer
+from certifiedgpt_tpu.parallel.mesh import batch_divisor, data_sharding
 from certifiedgpt_tpu.models.minigpt4 import generate_greedy
 from certifiedgpt_tpu.vqa_tools.vqa_eval import normalize_answer
 
@@ -104,22 +105,20 @@ def make_noisy_generate_fn(
     eos = model.tokenizer.eos_token_id
     pad = model.tokenizer.pad_token_id
 
-    # Monte-Carlo sharding: on a mesh, the mc axis is the data axis —
-    # noise draws split across chips over ICI (SURVEY.md §5.7: the MC axis
-    # is THE scalable axis of certification).
+    # Monte-Carlo sharding: on a mesh, the mc axis is the batch axis —
+    # noise draws split across chips over ICI, and across slices over DCN
+    # when the mesh has a dcn axis (SURVEY.md §5.7: the MC axis is THE
+    # scalable axis of certification; each draw is independent, so only
+    # the tiny count gather ever crosses DCN).
     mc_sharding = None
-    if mesh is not None and mesh.shape.get("data", 1) > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        n_data = mesh.shape["data"]
+    if mesh is not None and batch_divisor(mesh) > 1:
+        n_data = batch_divisor(mesh)
         if mc_batch % n_data != 0:
             raise ValueError(
-                f"mc_batch {mc_batch} must be divisible by the mesh data "
-                f"axis ({n_data})"
+                f"mc_batch {mc_batch} must be divisible by the mesh batch "
+                f"axes dcn*data ({n_data})"
             )
-        mc_sharding = lambda ndim: NamedSharding(  # noqa: E731
-            mesh, P("data", *([None] * (ndim - 1)))
-        )
+        mc_sharding = lambda ndim: data_sharding(mesh, ndim)  # noqa: E731
 
     # NOTE: params are an explicit argument — closing over them would bake
     # hundreds of MB of weights into the jaxpr as constants and stall

@@ -44,6 +44,7 @@ import numpy as np
 
 from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch
 from certifiedgpt_tpu.models.minigpt4 import generate_greedy
+from certifiedgpt_tpu.parallel.mesh import batch_divisor, data_sharding
 from certifiedgpt_tpu.smoothing.smoothing import (
     ABSTAIN,
     certified_radius,
@@ -78,18 +79,14 @@ def make_mixed_generate_fn(
     pad = model.tokenizer.pad_token_id
 
     mc_sharding = None
-    if mesh is not None and mesh.shape.get("data", 1) > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        n_data = mesh.shape["data"]
+    if mesh is not None and batch_divisor(mesh) > 1:
+        n_data = batch_divisor(mesh)
         if mc_batch % n_data != 0:
             raise ValueError(
-                f"mc_batch {mc_batch} must be divisible by the mesh data "
-                f"axis ({n_data})"
+                f"mc_batch {mc_batch} must be divisible by the mesh batch "
+                f"axes dcn*data ({n_data})"
             )
-        mc_sharding = lambda ndim: NamedSharding(  # noqa: E731
-            mesh, P("data", *([None] * (ndim - 1)))
-        )
+        mc_sharding = lambda ndim: data_sharding(mesh, ndim)  # noqa: E731
 
     @jax.jit
     def noise_fn(image_bank, row_slot, key, sigma_val):
