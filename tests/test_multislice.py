@@ -186,3 +186,85 @@ def test_dcn_train_step_matches_single_device():
     with mesh:
         dcn = loss_of(params2, batch2)
     assert np.isclose(plain, dcn, rtol=1e-5), (plain, dcn)
+
+
+def test_certify_agent_runs_on_dcn_mesh(tmp_path):
+    """Agent-level multislice: run.dcn_parallel=2 must thread through
+    BaseAgent -> make_mesh -> the certify pipeline and produce the same
+    artifacts as the single-axis mesh (virtual 8-device CPU = 2 slices
+    x 4 chips)."""
+    import json
+
+    from PIL import Image
+
+    from certifiedgpt_tpu import registration  # noqa: F401
+    from certifiedgpt_tpu.agents.base import setup_agent
+    from certifiedgpt_tpu.common.config import Config
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    questions, annotations = [], []
+    for i in range(2):
+        image_id = 3000 + i
+        arr = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"COCO_val2014_{image_id:012d}.jpg")
+        questions.append(
+            {"question_id": i + 1, "image_id": image_id, "question": f"q{i}?"}
+        )
+        annotations.append(
+            {
+                "question_id": i + 1,
+                "image_id": image_id,
+                "question_type": "what is",
+                "answer_type": "other",
+                "answers": [
+                    {"answer": "cat", "answer_confidence": "yes", "answer_id": 1}
+                ],
+                "multiple_choice_answer": "cat",
+            }
+        )
+    (tmp_path / "q.json").write_text(json.dumps({"questions": questions}))
+    (tmp_path / "a.json").write_text(json.dumps({"annotations": annotations}))
+
+    cfg = Config(
+        {
+            "model": {"arch": "minigpt4", "model_size": "tiny"},
+            "datasets": {
+                "evalvqav2": {
+                    "vis_processor": {
+                        "val": {"name": "blip2_image_val", "image_size": 28}
+                    },
+                    "build_info": {
+                        "images": {"storage": str(img_dir)},
+                        "questions": {"val": [str(tmp_path / "q.json")]},
+                        "annotations": {"val": [str(tmp_path / "a.json")]},
+                    },
+                }
+            },
+            "run": {
+                "agent": "image_text_certify",
+                "dcn_parallel": 2,
+                "certify_n0": 4,
+                "certify_n": 8,
+                "certify_alpha": 0.05,
+                "mc_batch": 8,
+                "max_images": 2,
+                "max_new_tokens": 3,
+                "seq_len": 48,
+                "noise_level": 0.25,
+                "output_dir": str(tmp_path / "out_dcn"),
+                "seed": 3,
+            },
+        }
+    )
+    agent = setup_agent(cfg)
+    assert agent.mesh.axis_names == ("dcn", "data", "model")
+    assert dict(agent.mesh.shape)["dcn"] == 2
+    summary = agent.run()
+    assert summary["total"] == 2
+    rows = [
+        json.loads(line)
+        for line in open(tmp_path / "out_dcn" / "certify_results.jsonl")
+    ]
+    assert len(rows) == 2
