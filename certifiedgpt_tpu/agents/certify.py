@@ -209,6 +209,45 @@ class SmoothedVQAAgentBase(BaseAgent):
         )
         return Smooth(sample_fn, vocab.num_classes, self.sigma), vocab
 
+    def make_continuous(self, n0: int, n: int, mode: str = "certify"):
+        """Continuous-batching scheduler over the (cached) mixed-chunk
+        pipeline — shared by certify (``mode="certify"``) and predict
+        (``mode="predict"``, n0=0); one compiled gen serves both since
+        the finalization statistics live on the host."""
+        from certifiedgpt_tpu.smoothing.continuous import (
+            ContinuousCertifier,
+            make_mixed_generate_fn,
+        )
+
+        if "mixed_gen" not in self._gen_cache:
+            self._gen_cache["mixed_gen"] = make_mixed_generate_fn(
+                self.model,
+                self.mc_batch,
+                self.max_new_tokens,
+                int(self.run_cfg.get("active_images", 8)),
+                seq_len=self.seq_len,
+                mesh=self.mesh,
+                noise_dist=self.noise_dist,
+                early_exit=self.early_exit,
+            )
+        return ContinuousCertifier(
+            self.model,
+            sigma=self.sigma,
+            n0=n0,
+            n=n,
+            alpha=self.alpha,
+            mc_batch=self.mc_batch,
+            max_new_tokens=self.max_new_tokens,
+            seq_len=self.seq_len,
+            num_slots=int(self.run_cfg.get("active_images", 8)),
+            mesh=self.mesh,
+            noise_dist=self.noise_dist,
+            early_exit=self.early_exit,
+            window=int(self.run_cfg.get("dispatch_window", 4)),
+            gen=self._gen_cache["mixed_gen"],
+            mode=mode,
+        )
+
     @staticmethod
     def is_correct(label_text: str, gt_answers: List[str]) -> bool:
         """A predicted label counts as correct when the official consensus
@@ -313,42 +352,9 @@ class CertifyAgent(SmoothedVQAAgentBase):
         equally valid (i.i.d. draws either way) but the RNG stream
         differs from the serial mode, so label/radius outputs are not
         bit-identical across the two modes at sigma > 0."""
-        from certifiedgpt_tpu.smoothing.continuous import (
-            ContinuousCertifier,
-            LazySlice,
-        )
+        from certifiedgpt_tpu.smoothing.continuous import LazySlice
 
-        if "mixed_gen" not in self._gen_cache:
-            from certifiedgpt_tpu.smoothing.continuous import (
-                make_mixed_generate_fn,
-            )
-
-            self._gen_cache["mixed_gen"] = make_mixed_generate_fn(
-                self.model,
-                self.mc_batch,
-                self.max_new_tokens,
-                int(self.run_cfg.get("active_images", 8)),
-                seq_len=self.seq_len,
-                mesh=self.mesh,
-                noise_dist=self.noise_dist,
-                early_exit=self.early_exit,
-            )
-        certifier = ContinuousCertifier(
-            self.model,
-            sigma=self.sigma,
-            n0=self.n0,
-            n=self.n,
-            alpha=self.alpha,
-            mc_batch=self.mc_batch,
-            max_new_tokens=self.max_new_tokens,
-            seq_len=self.seq_len,
-            num_slots=int(self.run_cfg.get("active_images", 8)),
-            mesh=self.mesh,
-            noise_dist=self.noise_dist,
-            early_exit=self.early_exit,
-            window=int(self.run_cfg.get("dispatch_window", 4)),
-            gen=self._gen_cache["mixed_gen"],
-        )
+        certifier = self.make_continuous(self.n0, self.n)
         # lazy view: the scheduler pulls/decodes each image when it
         # reaches a slot and drops it when its certificate lands —
         # materializing dataset[:limit] up front would hold ~2.4 MB of
@@ -458,6 +464,8 @@ class PredictAgent(SmoothedVQAAgentBase):
     def run(self) -> Dict[str, Any]:
         dataset = self.eval_dataset()
         limit = int(self.max_images) if self.max_images else len(dataset)
+        if self.run_cfg.get("continuous"):
+            return self._run_continuous(dataset, min(limit, len(dataset)))
         rows: List[Dict[str, Any]] = []
         results_path = os.path.join(self.output_dir, "predict_results.jsonl")
 
@@ -502,6 +510,77 @@ class PredictAgent(SmoothedVQAAgentBase):
             "mean_seconds_per_image": float(
                 np.mean([r["seconds"] for r in rows]) if rows else 0.0
             ),
+        }
+        with open(
+            os.path.join(self.output_dir, "predict_summary.json"), "w"
+        ) as handle:
+            json.dump(summary, handle, indent=2)
+        self.logger.info("predict summary: %s", summary)
+        return summary
+
+    def _run_continuous(self, dataset, limit: int) -> Dict[str, Any]:
+        """``run.continuous: true``: dataset-scale predict with draws from
+        MULTIPLE questions packed into shared mc_batch chunks — same
+        scheduler as continuous certify (mode="predict", n0=0, top-2
+        binomial finalization on the host). Predictions are equally valid
+        either way (i.i.d. draws), but the RNG stream differs from the
+        serial mode, so labels are not bit-identical at sigma > 0."""
+        from certifiedgpt_tpu.smoothing.continuous import LazySlice
+
+        predictor = self.make_continuous(0, self.n, mode="predict")
+        items = LazySlice(dataset, limit)
+        rows: List[Dict[str, Any]] = []
+        results_path = os.path.join(self.output_dir, "predict_results.jsonl")
+        t0 = time.time()
+        with open(results_path, "w") as sink:
+            def on_result(res, job):
+                label = res["label"]
+                text = (
+                    job.vocab.text_of(label) if label != ABSTAIN
+                    else "<abstain>"
+                )
+                correct = (
+                    label != ABSTAIN
+                    and self.is_correct(text, job.item["gt_answers"])
+                )
+                row = {
+                    "index": res["index"],
+                    "question_id": int(job.item["question_id"]),
+                    "label": int(label),
+                    "answer": text,
+                    "correct": bool(correct),
+                    "abstain": label == ABSTAIN,
+                    "seconds": round(time.time() - t0, 3),  # cumulative
+                    "sigma": self.sigma,
+                    "n": self.n,
+                }
+                rows.append(row)
+                sink.write(json.dumps(row) + "\n")
+                sink.flush()
+
+            predictor.run(
+                items,
+                self.wrap_instruction,
+                lambda item: self.build_vocab(item, dataset),
+                seed=certify_seed(self.seed, 0, self.sigma),
+                on_result=on_result,
+                on_chunk=lambda ci: self.profiler.maybe_start(0, ci),
+            )
+        elapsed = time.time() - t0
+        rows.sort(key=lambda r: r["index"])
+        total = len(rows)
+        summary = {
+            "total": total,
+            "sigma": self.sigma,
+            "n": self.n,
+            "alpha": self.alpha,
+            "accuracy": sum(1 for r in rows if r["correct"]) / max(total, 1),
+            "abstention_rate": sum(
+                1 for r in rows if r["abstain"]
+            ) / max(total, 1),
+            "mean_seconds_per_image": elapsed / max(total, 1),
+            "continuous": True,
+            "images_per_hour": 3600.0 * max(total, 1) / max(elapsed, 1e-9),
         }
         with open(
             os.path.join(self.output_dir, "predict_summary.json"), "w"

@@ -47,6 +47,7 @@ from certifiedgpt_tpu.models.minigpt4 import generate_greedy
 from certifiedgpt_tpu.parallel.mesh import batch_divisor, data_sharding
 from certifiedgpt_tpu.smoothing.smoothing import (
     ABSTAIN,
+    binom_p_value,
     certified_radius,
     clopper_pearson_lower,
 )
@@ -239,7 +240,15 @@ class ContinuousCertifier:
         early_exit: bool = False,
         window: int = 4,
         gen=None,
+        mode: str = "certify",
     ):
+        if mode not in ("certify", "predict"):
+            raise ValueError(f"mode must be certify|predict, got {mode!r}")
+        if mode == "predict" and int(n0) != 0:
+            # predict has no selection phase — every draw feeds the
+            # top-2 binomial test (Smooth.predict semantics)
+            raise ValueError("predict mode requires n0=0")
+        self.mode = mode
         self.model = model
         self.sigma = float(sigma)
         self.n0, self.n, self.alpha = int(n0), int(n), float(alpha)
@@ -276,6 +285,15 @@ class ContinuousCertifier:
         self._pos_bank[slot] = prompt["img_pos"][0]
 
     def _finalize(self, job: _ImageJob) -> Dict[str, Any]:
+        if self.mode == "predict":
+            # Smooth.predict semantics: top class of n draws, abstain
+            # unless the top-2 split passes the two-sided binomial test
+            top2 = job.est_counts.argsort()[::-1][:2]
+            c_a, c_b = int(top2[0]), int(top2[1])
+            n_a, n_b = int(job.est_counts[c_a]), int(job.est_counts[c_b])
+            if binom_p_value(n_a, n_a + n_b, 0.5) > self.alpha:
+                return {"label": ABSTAIN, "radius": 0.0, "index": job.index}
+            return {"label": c_a, "radius": 0.0, "index": job.index}
         c_a = int(np.argmax(job.sel_counts))
         n_a = int(job.est_counts[c_a])
         p_a_bar = clopper_pearson_lower(n_a, self.n, self.alpha)

@@ -37,6 +37,9 @@ CERTIFY_CONFIGS = {
     "vqav2_certify_sweep": _p(
         "certify_configs", "vqav2_certify_sweep.yaml"
     ),
+    "vqav2_certify_continuous": _p(
+        "certify_configs", "vqav2_certify_continuous.yaml"
+    ),
 }
 
 ATTACK_CONFIGS = {

@@ -592,3 +592,98 @@ def test_mixed_gen_rejects_bank_shape_mismatch(eval_setup):
             agent.model.params, bank, bad_ids, am, pos,
             jnp.zeros((4,), jnp.int32), jax.random.PRNGKey(0), 0.5,
         )
+
+
+def test_continuous_predict_matches_serial_at_sigma0(eval_setup):
+    """run.continuous for smoothing_predict: same scheduler as certify,
+    mode="predict" (n0=0, top-2 binomial finalization). At sigma=0 the
+    draws are noise-free so serial and continuous modes must emit
+    IDENTICAL labels (at sigma>0 only the RNG stream differs)."""
+    make_cfg, tmp_path = eval_setup
+    common = dict(
+        predict_n=6,
+        certify_alpha=0.5,
+        mc_batch=4,
+        max_images=3,
+        noise_level=0.0,
+    )
+    serial = setup_agent(make_cfg("image_text_predict", **common))
+    s_summary = serial.run()
+    s_rows = [
+        json.loads(line)
+        for line in open(tmp_path / "out_image_text_predict" /
+                         "predict_results.jsonl")
+    ]
+
+    cont = setup_agent(
+        make_cfg(
+            "image_text_predict", continuous=True, active_images=2, **common
+        )
+    )
+    c_summary = cont.run()
+    c_rows = [
+        json.loads(line)
+        for line in open(tmp_path / "out_image_text_predict" /
+                         "predict_results.jsonl")
+    ]
+    assert c_summary["continuous"] is True
+    assert c_summary["total"] == s_summary["total"] == 3
+    c_rows.sort(key=lambda r: r["index"])
+    assert [r["answer"] for r in c_rows] == [r["answer"] for r in s_rows]
+    assert [r["abstain"] for r in c_rows] == [r["abstain"] for r in s_rows]
+    assert "images_per_hour" in c_summary
+
+
+def test_continuous_predict_mode_guards():
+    """predict mode has no selection phase: n0 must be 0; unknown modes
+    are rejected."""
+    import pytest
+
+    from certifiedgpt_tpu.smoothing.continuous import ContinuousCertifier
+
+    with pytest.raises(ValueError, match="n0=0"):
+        ContinuousCertifier(
+            None, sigma=0.5, n0=4, n=8, alpha=0.05, mc_batch=4,
+            max_new_tokens=2, seq_len=16, gen=lambda *a: None,
+            mode="predict",
+        )
+    with pytest.raises(ValueError, match="certify|predict"):
+        ContinuousCertifier(
+            None, sigma=0.5, n0=0, n=8, alpha=0.05, mc_batch=4,
+            max_new_tokens=2, seq_len=16, gen=lambda *a: None,
+            mode="argmax",
+        )
+
+
+def test_continuous_certify_with_global_vocab(eval_setup):
+    """run.continuous x vocab_mode=global: one shared label set for every
+    slot (built once from the dataset annotations) must thread through
+    the mixed-chunk scheduler — labels stay inside the global vocab and
+    the vocab is constructed exactly once."""
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            continuous=True,
+            active_images=2,
+            certify_n0=3,
+            certify_n=5,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=4,
+            vocab_mode="global",
+            vocab_top_k=10,
+        )
+    )
+    summary = agent.run()
+    assert summary["total"] == 4
+    vocab = agent._global_vocab  # built once, cached on the agent
+    rows = [
+        json.loads(line)
+        for line in open(
+            tmp_path / "out_image_text_certify" / "certify_results.jsonl"
+        )
+    ]
+    assert len(rows) == 4
+    for row in rows:
+        assert -1 <= row["label"] < vocab.num_classes

@@ -302,6 +302,7 @@ def test_shipped_configs_parse_and_exist():
     for key in [
         "vqav2_certify_noise_0.25", "vqav2_certify_noise_0.5",
         "vqav2_certify_noise_1.0", "vqav2_certify_sweep",
+        "vqav2_certify_continuous",
     ]:
         assert key in mod.CERTIFY_CONFIGS
     assert "vqav2_attack" in mod.ATTACK_CONFIGS
