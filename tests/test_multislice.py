@@ -268,3 +268,88 @@ def test_certify_agent_runs_on_dcn_mesh(tmp_path):
         for line in open(tmp_path / "out_dcn" / "certify_results.jsonl")
     ]
     assert len(rows) == 2
+
+
+def test_finetune_agent_trains_on_dcn_mesh(tmp_path):
+    """Agent-level multislice training: run.dcn_parallel=2 threads through
+    BaseAgent -> shard_batch (hybrid batch spec) -> the jitted train step,
+    and the loss history matches the single-axis-mesh run bit-for-bit
+    (same seed, replicated params, same global batch order)."""
+    import json
+
+    from PIL import Image
+
+    from certifiedgpt_tpu import registration  # noqa: F401
+    from certifiedgpt_tpu.agents.base import setup_agent
+    from certifiedgpt_tpu.common.config import Config
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    questions, annotations = [], []
+    for i in range(16):
+        image_id = 2000 + i
+        arr = rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(
+            img_dir / f"COCO_train2014_{image_id:012d}.jpg"
+        )
+        questions.append(
+            {"question_id": i + 1, "image_id": image_id,
+             "question": f"what is {i}?"}
+        )
+        annotations.append(
+            {
+                "question_id": i + 1,
+                "image_id": image_id,
+                "answers": [{"answer": "cat", "answer_confidence": "yes"}],
+            }
+        )
+    (tmp_path / "q.json").write_text(json.dumps({"questions": questions}))
+    (tmp_path / "a.json").write_text(json.dumps({"annotations": annotations}))
+
+    def run_once(name, **run_extra):
+        cfg = Config(
+            {
+                "model": {"arch": "minigpt4", "model_size": "tiny"},
+                "datasets": {
+                    "vqav2": {
+                        "vis_processor": {
+                            "train": {
+                                "name": "blip2_image_train", "image_size": 28
+                            }
+                        },
+                        "text_processor": {"train": {"name": "blip_caption"}},
+                        "build_info": {
+                            "images": {"storage": str(img_dir)},
+                            "questions": {
+                                "train": [str(tmp_path / "q.json")]
+                            },
+                            "annotations": {
+                                "train": [str(tmp_path / "a.json")]
+                            },
+                        },
+                    }
+                },
+                "run": {
+                    "agent": "image_text_finetune",
+                    "max_epoch": 1,
+                    "batch_size": 8,
+                    "seq_len": 48,
+                    "iters_per_epoch": 2,
+                    "has_val_split": False,
+                    "checkpoint_name": f"ckpt_{name}",
+                    "output_dir": str(tmp_path / f"out_{name}"),
+                    "seed": 7,
+                    **run_extra,
+                },
+            }
+        )
+        agent = setup_agent(cfg)
+        agent.run()
+        return agent.loss_history["train"]
+
+    base = run_once("base")
+    dcn = run_once("dcn", dcn_parallel=2)
+    # loss_history holds one mean per epoch
+    assert len(base) == len(dcn) == 1
+    np.testing.assert_allclose(base, dcn, rtol=1e-6)
