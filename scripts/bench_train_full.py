@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Full-scale TRAIN-step benchmark (single chip).
 
-Measures the reference-scale finetune step — EVA ViT-g/448 (flash
-attention) + Q-Former-12 + int8 Vicuna-7B-architecture decoder (remat),
+Measures the reference-scale finetune step — EVA ViT-g/448 (cls-split
+split-stream attention by default; ``impl=flash``/``impl=xla`` to A/B)
++ Q-Former-12 + int8 Vicuna-7B-architecture decoder (remat),
 trainable llama_proj only, Gaussian input noise, optax AdamW — at the
 reference's per-core batch size semantics. Grads flow through the frozen
 decoder's activations into the projection, so the step costs ~ViT fwd +
@@ -27,6 +28,9 @@ sys.path.insert(0, ".")
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     aq = "aq" in sys.argv[2:]
+    impl = next(
+        (a for a in sys.argv[2:] if a.startswith("impl=")), "impl=flash_cls"
+    ).split("=", 1)[1]
     import jax
     import jax.numpy as jnp
     import optax
@@ -49,7 +53,7 @@ def main():
     # and the decoder's act_quant matmuls carry the straight-through vjp
     # (tests/test_quantization.py::test_w8a8_dense_gradient_is_straight_through)
     cfg = MiniGPT4Config(
-        vit=EvaViTConfig(attn_impl="flash", act_quant=aq),
+        vit=EvaViTConfig(attn_impl=impl, act_quant=aq),
         llama=LlamaConfig(remat=True, act_quant=aq),
     )
     params = build_full_int8_params(cfg)
