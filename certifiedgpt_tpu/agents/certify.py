@@ -248,6 +248,100 @@ class SmoothedVQAAgentBase(BaseAgent):
             mode=mode,
         )
 
+    def _continuous_run(
+        self,
+        dataset,
+        limit: int,
+        *,
+        mode: str,
+        n0: int,
+        results_name: str,
+        summary_name: str,
+        extra_row_fields,
+        finalize_summary,
+        log_row=None,
+    ) -> Dict[str, Any]:
+        """Shared continuous-batching loop for certify AND predict
+        (``run.continuous: true``): draws from MULTIPLE questions packed
+        into shared mc_batch chunks (smoothing/continuous.py) — removes
+        the per-image partial-chunk waste and phase bubbles of the serial
+        loops. Results are equally valid (i.i.d. draws either way) but
+        the RNG stream differs from the serial mode, so outputs are not
+        bit-identical across the two modes at sigma > 0.
+
+        ``extra_row_fields(row, res)`` adds the mode-specific jsonl
+        fields; ``finalize_summary(rows)`` builds the mode's summary dict
+        (throughput keys are appended here). Rows carry
+        ``elapsed_seconds`` — cumulative wall-clock at finalization time,
+        deliberately NOT the serial schema's per-image ``seconds`` (in
+        this mode images overlap and results land out of order, so a
+        per-image duration does not exist)."""
+        from certifiedgpt_tpu.smoothing.continuous import LazySlice
+
+        scheduler = self.make_continuous(n0, self.n, mode=mode)
+        # lazy view: the scheduler pulls/decodes each image when it
+        # reaches a slot and drops it when its result lands —
+        # materializing dataset[:limit] up front would hold ~2.4 MB of
+        # pixels per image (tens of GB at VQAv2-val scale) in host RAM
+        items = LazySlice(dataset, limit)
+        rows: List[Dict[str, Any]] = []
+        results_path = os.path.join(self.output_dir, results_name)
+        t0 = time.time()
+        with open(results_path, "w") as sink:
+            def on_result(res, job):
+                label = res["label"]
+                text = (
+                    job.vocab.text_of(label) if label != ABSTAIN
+                    else "<abstain>"
+                )
+                correct = (
+                    label != ABSTAIN
+                    and self.is_correct(text, job.item["gt_answers"])
+                )
+                row = {
+                    "index": res["index"],
+                    "question_id": int(job.item["question_id"]),
+                    "label": int(label),
+                    "answer": text,
+                    "correct": bool(correct),
+                    "abstain": label == ABSTAIN,
+                    "elapsed_seconds": round(time.time() - t0, 3),
+                    "sigma": self.sigma,
+                    "n": self.n,
+                }
+                extra_row_fields(row, res)
+                rows.append(row)
+                sink.write(json.dumps(row) + "\n")
+                sink.flush()
+                if log_row is not None:
+                    log_row(row)
+
+            scheduler.run(
+                items,
+                self.wrap_instruction,
+                lambda item: self.build_vocab(item, dataset),
+                seed=certify_seed(self.seed, 0, self.sigma),
+                on_result=on_result,
+                # same profiling knobs as the serial loops, keyed on the
+                # dispatched chunk index (run.profile_step)
+                on_chunk=lambda ci: self.profiler.maybe_start(0, ci),
+            )
+        elapsed = time.time() - t0
+        rows.sort(key=lambda r: r["index"])
+        summary = finalize_summary(rows)
+        # wall-clock per image is the throughput metric in this mode
+        summary["mean_seconds_per_image"] = elapsed / max(len(rows), 1)
+        summary["continuous"] = True
+        summary["images_per_hour"] = 3600.0 / max(
+            summary["mean_seconds_per_image"], 1e-9
+        )
+        with open(
+            os.path.join(self.output_dir, summary_name), "w"
+        ) as handle:
+            json.dump(summary, handle, indent=2)
+        self.logger.info("%s summary: %s", mode, summary)
+        return summary
+
     @staticmethod
     def is_correct(label_text: str, gt_answers: List[str]) -> bool:
         """A predicted label counts as correct when the official consensus
@@ -345,84 +439,28 @@ class CertifyAgent(SmoothedVQAAgentBase):
         return summary
 
     def _run_continuous(self, dataset, limit: int) -> Dict[str, Any]:
-        """``run.continuous: true``: dataset-scale certify with draws from
-        MULTIPLE questions packed into shared mc_batch chunks
-        (smoothing/continuous.py) — removes the per-image partial-chunk
-        waste and phase bubbles of the serial loop. Certificates are
-        equally valid (i.i.d. draws either way) but the RNG stream
-        differs from the serial mode, so label/radius outputs are not
-        bit-identical across the two modes at sigma > 0."""
-        from certifiedgpt_tpu.smoothing.continuous import LazySlice
+        """Continuous-batching certify (see ``_continuous_run``)."""
+        def extra_row_fields(row, res):
+            row["radius"] = float(res["radius"])
+            row["n0"] = self.n0
 
-        certifier = self.make_continuous(self.n0, self.n)
-        # lazy view: the scheduler pulls/decodes each image when it
-        # reaches a slot and drops it when its certificate lands —
-        # materializing dataset[:limit] up front would hold ~2.4 MB of
-        # pixels per image (tens of GB at VQAv2-val scale) in host RAM
-        items = LazySlice(dataset, limit)
-        rows: List[Dict[str, Any]] = []
-        results_path = os.path.join(self.output_dir, "certify_results.jsonl")
-        t0 = time.time()
-        with open(results_path, "w") as sink:
-            def on_result(res, job):
-                label = res["label"]
-                text = (
-                    job.vocab.text_of(label) if label != ABSTAIN
-                    else "<abstain>"
-                )
-                correct = (
-                    label != ABSTAIN
-                    and self.is_correct(text, job.item["gt_answers"])
-                )
-                row = {
-                    "index": res["index"],
-                    "question_id": int(job.item["question_id"]),
-                    "label": int(label),
-                    "answer": text,
-                    "radius": float(res["radius"]),
-                    "correct": bool(correct),
-                    "abstain": label == ABSTAIN,
-                    "seconds": round(time.time() - t0, 3),  # cumulative
-                    "sigma": self.sigma,
-                    "n0": self.n0,
-                    "n": self.n,
-                }
-                rows.append(row)
-                sink.write(json.dumps(row) + "\n")
-                sink.flush()
-                self.logger.info(
-                    "certify[%d] qid=%s label=%s radius=%.3f correct=%s "
-                    "(%.1fs elapsed)",
-                    row["index"], row["question_id"], text, row["radius"],
-                    correct, row["seconds"],
-                )
-
-            certifier.run(
-                items,
-                self.wrap_instruction,
-                lambda item: self.build_vocab(item, dataset),
-                seed=certify_seed(self.seed, 0, self.sigma),
-                on_result=on_result,
-                # same profiling knobs as the serial loop, keyed on the
-                # dispatched chunk index (run.profile_step)
-                on_chunk=lambda ci: self.profiler.maybe_start(0, ci),
+        def log_row(row):
+            self.logger.info(
+                "certify[%d] qid=%s label=%s radius=%.3f correct=%s "
+                "(%.1fs elapsed)",
+                row["index"], row["question_id"], row["answer"],
+                row["radius"], row["correct"], row["elapsed_seconds"],
             )
-        elapsed = time.time() - t0
-        rows.sort(key=lambda r: r["index"])
-        summary = self.summarize(rows)
-        # wall-clock per image is the throughput metric in this mode (the
-        # per-row "seconds" field is cumulative elapsed, not per-image)
-        summary["mean_seconds_per_image"] = elapsed / max(len(rows), 1)
-        summary["continuous"] = True
-        summary["images_per_hour"] = 3600.0 / max(
-            summary["mean_seconds_per_image"], 1e-9
+
+        return self._continuous_run(
+            dataset, limit,
+            mode="certify", n0=self.n0,
+            results_name="certify_results.jsonl",
+            summary_name="certify_summary.json",
+            extra_row_fields=extra_row_fields,
+            finalize_summary=self.summarize,
+            log_row=log_row,
         )
-        with open(
-            os.path.join(self.output_dir, "certify_summary.json"), "w"
-        ) as handle:
-            json.dump(summary, handle, indent=2)
-        self.logger.info("certify summary: %s", summary)
-        return summary
 
     def summarize(self, rows: List[Dict[str, Any]]) -> Dict[str, Any]:
         total = len(rows)
@@ -445,9 +483,11 @@ class CertifyAgent(SmoothedVQAAgentBase):
             "abstention_rate": abstain / total,
             "standard_accuracy": sum(1 for r in rows if r["correct"]) / total,
             "certified_accuracy_at_radius": certified_acc,
+            # continuous-mode rows carry only cumulative elapsed_seconds;
+            # _continuous_run overwrites this with wall-clock / images
             "mean_seconds_per_image": float(
-                np.mean([r["seconds"] for r in rows])
-            ),
+                np.mean([r["seconds"] for r in rows if "seconds" in r])
+            ) if any("seconds" in r for r in rows) else 0.0,
         }
 
 
@@ -519,72 +559,29 @@ class PredictAgent(SmoothedVQAAgentBase):
         return summary
 
     def _run_continuous(self, dataset, limit: int) -> Dict[str, Any]:
-        """``run.continuous: true``: dataset-scale predict with draws from
-        MULTIPLE questions packed into shared mc_batch chunks — same
-        scheduler as continuous certify (mode="predict", n0=0, top-2
-        binomial finalization on the host). Predictions are equally valid
-        either way (i.i.d. draws), but the RNG stream differs from the
-        serial mode, so labels are not bit-identical at sigma > 0."""
-        from certifiedgpt_tpu.smoothing.continuous import LazySlice
+        """Continuous-batching predict: same scheduler as continuous
+        certify (mode="predict", n0=0, top-2 binomial finalization on the
+        host) — see ``_continuous_run``."""
+        def finalize_summary(rows):
+            total = len(rows)
+            return {
+                "total": total,
+                "sigma": self.sigma,
+                "n": self.n,
+                "alpha": self.alpha,
+                "accuracy": sum(
+                    1 for r in rows if r["correct"]
+                ) / max(total, 1),
+                "abstention_rate": sum(
+                    1 for r in rows if r["abstain"]
+                ) / max(total, 1),
+            }
 
-        predictor = self.make_continuous(0, self.n, mode="predict")
-        items = LazySlice(dataset, limit)
-        rows: List[Dict[str, Any]] = []
-        results_path = os.path.join(self.output_dir, "predict_results.jsonl")
-        t0 = time.time()
-        with open(results_path, "w") as sink:
-            def on_result(res, job):
-                label = res["label"]
-                text = (
-                    job.vocab.text_of(label) if label != ABSTAIN
-                    else "<abstain>"
-                )
-                correct = (
-                    label != ABSTAIN
-                    and self.is_correct(text, job.item["gt_answers"])
-                )
-                row = {
-                    "index": res["index"],
-                    "question_id": int(job.item["question_id"]),
-                    "label": int(label),
-                    "answer": text,
-                    "correct": bool(correct),
-                    "abstain": label == ABSTAIN,
-                    "seconds": round(time.time() - t0, 3),  # cumulative
-                    "sigma": self.sigma,
-                    "n": self.n,
-                }
-                rows.append(row)
-                sink.write(json.dumps(row) + "\n")
-                sink.flush()
-
-            predictor.run(
-                items,
-                self.wrap_instruction,
-                lambda item: self.build_vocab(item, dataset),
-                seed=certify_seed(self.seed, 0, self.sigma),
-                on_result=on_result,
-                on_chunk=lambda ci: self.profiler.maybe_start(0, ci),
-            )
-        elapsed = time.time() - t0
-        rows.sort(key=lambda r: r["index"])
-        total = len(rows)
-        summary = {
-            "total": total,
-            "sigma": self.sigma,
-            "n": self.n,
-            "alpha": self.alpha,
-            "accuracy": sum(1 for r in rows if r["correct"]) / max(total, 1),
-            "abstention_rate": sum(
-                1 for r in rows if r["abstain"]
-            ) / max(total, 1),
-            "mean_seconds_per_image": elapsed / max(total, 1),
-            "continuous": True,
-            "images_per_hour": 3600.0 * max(total, 1) / max(elapsed, 1e-9),
-        }
-        with open(
-            os.path.join(self.output_dir, "predict_summary.json"), "w"
-        ) as handle:
-            json.dump(summary, handle, indent=2)
-        self.logger.info("predict summary: %s", summary)
-        return summary
+        return self._continuous_run(
+            dataset, limit,
+            mode="predict", n0=0,
+            results_name="predict_results.jsonl",
+            summary_name="predict_summary.json",
+            extra_row_fields=lambda row, res: None,
+            finalize_summary=finalize_summary,
+        )

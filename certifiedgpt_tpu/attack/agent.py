@@ -22,14 +22,13 @@ from __future__ import annotations
 import csv
 import json
 import os
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from certifiedgpt_tpu.agents.base import BaseAgent
-from certifiedgpt_tpu.agents.finetune import add_input_noise
 from certifiedgpt_tpu.attack.attack import (
     SurrogateEncoder,
     ancova,
@@ -54,6 +53,27 @@ from certifiedgpt_tpu.data.loader import shard_batch
 from certifiedgpt_tpu.data.processors import CLIP_MEAN, CLIP_STD
 from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch, clean_answer
 from certifiedgpt_tpu.models.minigpt4 import generate_greedy
+
+def caption_key(seed: int, stream: Sequence[int], sigma: float):
+    """PRNG key for one victim caption draw.
+
+    ``stream`` is a tuple of ints identifying the caller's draw —
+    ``(0, image)`` clean, ``(1, image, backbone)`` adversarial score,
+    ``(2, image, sigma_idx, backbone, query)`` RGF query. fold_in
+    chaining keeps the streams disjoint by construction: arithmetic
+    packing (the old ``tag*1000+step``) collided across callers once the
+    RGF budget crossed the pack base, silently correlating the
+    supposedly independent smoothing draws. sigma's bit pattern is
+    folded last so noise-grid rows draw independently too (same
+    rationale as ``agents.certify.certify_seed``).
+    """
+    rng = jax.random.PRNGKey(seed)
+    for part in stream:
+        rng = jax.random.fold_in(rng, int(part))
+    return jax.random.fold_in(
+        rng, int(np.float32(sigma).view(np.uint32)) & 0x7FFFFFFF
+    )
+
 
 _BACKBONES: Dict[str, Callable[[], Tuple[Any, Any, int]]] = {}
 
@@ -406,12 +426,16 @@ class AttackAgent(BaseAgent):
 
     # ------------------------------------------------------------------
     def caption(
-        self, pixels: np.ndarray, instruction: str, step: int,
+        self, pixels: np.ndarray, instruction: str, stream: Sequence[int],
         sigma: Optional[float] = None,
     ) -> str:
         """Victim caption of a [0,1]-pixel image (CLIP-normalized inside);
         ``sigma`` is the victim-side smoothing level (defaults to
-        ``run.noise_level``)."""
+        ``run.noise_level``). ``stream`` is a tuple of ints folded into
+        the run seed one by one — fold_in chaining keeps every caller's
+        draw stream disjoint by construction (arithmetic seed packing
+        like ``tag*1000+step`` collided across callers once the RGF
+        budget crossed the pack base)."""
         if sigma is None:
             sigma = self.noise_level
         mean = np.asarray(CLIP_MEAN, np.float32)
@@ -425,12 +449,7 @@ class AttackAgent(BaseAgent):
         prompt = build_gen_batch(self.model.tokenizer, [instruction], spec)
         batch = shard_batch(prompt, None)
         batch["image"] = img[None]
-        # fold sigma's bit pattern into the key so grid rows draw
-        # independent smoothing noise (same rationale as certify_seed)
-        rng = jax.random.fold_in(
-            jax.random.PRNGKey(self.seed + step),
-            int(np.float32(sigma).view(np.uint32)) & 0x7FFFFFFF,
-        )
+        rng = caption_key(self.seed, stream, sigma)
         tokens = np.asarray(
             self._victim_generate(
                 self.model.params, batch, rng, jnp.float32(sigma)
@@ -517,18 +536,18 @@ class AttackAgent(BaseAgent):
                 for s_idx, sigma in enumerate(sigmas):
                     # the clean caption is backbone-independent
                     clean_cap = self.caption(
-                        pixels, instruction, idx * 2, sigma
+                        pixels, instruction, (0, idx), sigma
                     )
-                    for enc in self.encoders:
+                    for b_idx, enc in enumerate(self.encoders):
                         adv = transfer_adv[enc.name]
                         if self.rgf_queries > 0:
                             adv = self._rgf_stage(
                                 adv, pixels, target_text, enc,
-                                idx * len(sigmas) + s_idx, instruction, sigma,
+                                (idx, s_idx, b_idx), instruction, sigma,
                             )
                         row = self._score(
-                            idx, item, enc.name, pixels, adv, target_text,
-                            clean_cap, instruction, sigma,
+                            idx, item, enc.name, b_idx, pixels, adv,
+                            target_text, clean_cap, instruction, sigma,
                         )
                         rows.append(row)
                         sink.write(json.dumps(row) + "\n")
@@ -586,15 +605,20 @@ class AttackAgent(BaseAgent):
         """RGF query stage against the sigma-smoothed victim.
         ``instruction`` is the SAME prompt `_score` judges with —
         spending the query budget on captions of a different prompt
-        would optimize an objective the success metric never sees."""
+        would optimize an objective the success metric never sees.
+        ``tag`` is the (image, sigma, backbone) index triple; it
+        namespaces both the victim caption stream and the RGF direction
+        seed so no two stages of a run share draws."""
         text_enc = self.text_encoder
         target_emb = text_enc([target_text])[0]
         step_counter = [0]
+        idx, s_idx, b_idx = tag
 
         def victim_score(p):
             step_counter[0] += 1
             cap = self.caption(
-                p, instruction, tag * 1000 + step_counter[0], sigma
+                p, instruction, (2, idx, s_idx, b_idx, step_counter[0]),
+                sigma,
             )
             emb = text_enc([cap])[0]
             return float(np.dot(emb, target_emb))
@@ -604,16 +628,16 @@ class AttackAgent(BaseAgent):
             epsilon=self.epsilon,
             queries=self.rgf_queries,
             iters=self.rgf_iters,
-            seed=self.seed + tag,
+            seed=(self.seed, idx, s_idx, b_idx),
         )
 
     def _score(
-        self, idx, item, backbone, pixels, adv, target_text, clean_cap,
-        instruction, sigma=None,
+        self, idx, item, backbone, b_idx, pixels, adv, target_text,
+        clean_cap, instruction, sigma=None,
     ):
         if sigma is None:
             sigma = self.noise_level
-        adv_cap = self.caption(adv, instruction, idx * 2 + 1, sigma)
+        adv_cap = self.caption(adv, instruction, (1, idx, b_idx), sigma)
         embs = self.text_encoder([clean_cap, adv_cap, target_text])
         clean_sim = float(np.dot(embs[0], embs[2]))
         adv_sim = float(np.dot(embs[1], embs[2]))

@@ -131,7 +131,7 @@ def rgf_refine(
     step_size: float = 1.0 / 255.0,
     queries: int = 8,
     iters: int = 4,
-    seed: int = 0,
+    seed=0,  # anything np.random.default_rng accepts (int or int tuple)
 ) -> np.ndarray:
     """Query-based refinement with two-point RGF gradient estimates.
 

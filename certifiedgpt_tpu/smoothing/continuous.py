@@ -248,6 +248,12 @@ class ContinuousCertifier:
             # predict has no selection phase — every draw feeds the
             # top-2 binomial test (Smooth.predict semantics)
             raise ValueError("predict mode requires n0=0")
+        if int(num_slots) < 1:
+            raise ValueError(f"num_slots must be >= 1, got {num_slots}")
+        if int(window) < 1:
+            # window=0 would dispatch nothing and surface as a bogus
+            # "scheduler bug" error at the end of run()
+            raise ValueError(f"window must be >= 1, got {window}")
         self.mode = mode
         self.model = model
         self.sigma = float(sigma)

@@ -653,6 +653,20 @@ def test_continuous_predict_mode_guards():
             max_new_tokens=2, seq_len=16, gen=lambda *a: None,
             mode="argmax",
         )
+    # window=0 would dispatch nothing and surface as a bogus "scheduler
+    # bug" at the end of run(); reject at construction instead
+    with pytest.raises(ValueError, match="window"):
+        ContinuousCertifier(
+            None, sigma=0.5, n0=4, n=8, alpha=0.05, mc_batch=4,
+            max_new_tokens=2, seq_len=16, gen=lambda *a: None,
+            window=0,
+        )
+    with pytest.raises(ValueError, match="num_slots"):
+        ContinuousCertifier(
+            None, sigma=0.5, n0=4, n=8, alpha=0.05, mc_batch=4,
+            max_new_tokens=2, seq_len=16, gen=lambda *a: None,
+            num_slots=0,
+        )
 
 
 def test_continuous_certify_with_global_vocab(eval_setup):

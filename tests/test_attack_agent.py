@@ -88,6 +88,35 @@ def test_attack_agent_end_to_end(attack_setup):
         assert row["linf"] <= 0.03 + 1e-5
 
 
+def test_caption_key_streams_are_disjoint():
+    """Regression: the old arithmetic packing (``tag*1000+step``) made
+    RGF query keys collide with other images' caption keys once
+    queries*iters crossed 1000, correlating supposedly independent
+    victim smoothing draws. fold_in chaining must keep every caller's
+    stream distinct — including across the clean/adv/RGF namespaces and
+    across sigma grid rows."""
+    import jax
+    from certifiedgpt_tpu.attack.agent import caption_key
+
+    jax.config.update("jax_platforms", "cpu")
+    seen = {}
+    streams = []
+    for idx in range(3):
+        streams.append((0, idx))  # clean caption
+        for b in range(3):
+            streams.append((1, idx, b))  # adv score caption
+            for s_idx in range(2):
+                for q in range(1, 1002, 500):  # crosses the old pack base
+                    streams.append((2, idx, s_idx, b, q))
+    for sigma in (0.0, 0.5):
+        for stream in streams:
+            key = tuple(np.asarray(caption_key(7, stream, sigma)).tolist())
+            assert key not in seen, (
+                f"key collision: {stream}/{sigma} vs {seen[key]}"
+            )
+            seen[key] = (stream, sigma)
+
+
 def test_attack_agent_sigma_grid(attack_setup):
     """run.sigma_grid: one transfer attack per (image, backbone), scored
     at every victim smoothing level — the reference's table shape
