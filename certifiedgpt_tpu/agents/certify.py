@@ -206,6 +206,7 @@ class SmoothedVQAAgentBase(BaseAgent):
             mesh=self.mesh,
             noise_dist=self.noise_dist,
             gen=self._gen_cache["gen"],
+            window=int(self.run_cfg.get("dispatch_window", 4)),
         )
         return Smooth(sample_fn, vocab.num_classes, self.sigma), vocab
 
@@ -294,9 +295,8 @@ class SmoothedVQAAgentBase(BaseAgent):
                     job.vocab.text_of(label) if label != ABSTAIN
                     else "<abstain>"
                 )
-                correct = (
-                    label != ABSTAIN
-                    and self.is_correct(text, job.item["gt_answers"])
+                correct = self.label_correct(
+                    label, job.vocab, job.item["gt_answers"]
                 )
                 row = {
                     "index": res["index"],
@@ -347,6 +347,20 @@ class SmoothedVQAAgentBase(BaseAgent):
         """A predicted label counts as correct when the official consensus
         accuracy against the human answers is positive."""
         return VQAEval.answer_accuracy(label_text, gt_answers) > 0.0
+
+    @classmethod
+    def label_correct(cls, label: int, vocab, gt_answers: List[str]) -> bool:
+        """Label-level correctness for certify/predict rows.
+
+        The catch-all OTHER class means "none of the candidate answers"
+        and is NEVER correct — its display text "<other>" would
+        otherwise normalize (punctuation stripped) to the legitimate VQA
+        answer "other" and score as a match whenever the humans answered
+        "other" (which, when it happens, is a distinct vocab class with
+        its own id)."""
+        if label == ABSTAIN or label == vocab.other_label:
+            return False
+        return cls.is_correct(vocab.text_of(label), gt_answers)
 
 
 @registry.register_agent("image_text_certify")
@@ -405,10 +419,7 @@ class CertifyAgent(SmoothedVQAAgentBase):
                 )
                 dt = time.time() - t0
                 text = vocab.text_of(label) if label != ABSTAIN else "<abstain>"
-                correct = (
-                    label != ABSTAIN
-                    and self.is_correct(text, item["gt_answers"])
-                )
+                correct = self.label_correct(label, vocab, item["gt_answers"])
                 row = {
                     "index": idx,
                     "question_id": int(item["question_id"]),
@@ -521,9 +532,7 @@ class PredictAgent(SmoothedVQAAgentBase):
                 )
                 dt = time.time() - t0
                 text = vocab.text_of(label) if label != ABSTAIN else "<abstain>"
-                correct = (
-                    label != ABSTAIN and self.is_correct(text, item["gt_answers"])
-                )
+                correct = self.label_correct(label, vocab, item["gt_answers"])
                 row = {
                     "index": idx,
                     "question_id": int(item["question_id"]),

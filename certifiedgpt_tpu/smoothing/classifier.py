@@ -231,6 +231,7 @@ def make_sample_fn(
     noise_dist: str = "gaussian",
     early_exit: bool = False,
     gen=None,
+    window: int = 4,
 ) -> Callable[[np.ndarray, int, int], np.ndarray]:
     """Bind (model, question prompt, vocab, sigma) into the
     ``sample_fn(x, num, seed) -> labels`` interface of ``Smooth``.
@@ -239,8 +240,13 @@ def make_sample_fn(
     certifying many questions at the same (mc_batch, shapes): the prompt
     and sigma are runtime arguments, so ONE compiled graph serves the
     whole dataset — and every sigma of a sweep — instead of re-tracing
-    per image (the certify agents do this).
+    per image (the certify agents do this). ``window`` bounds the async
+    dispatch look-ahead (run.dispatch_window — same knob as the
+    continuous scheduler): each in-flight chunk owns a noisy-image
+    buffer in HBM, so shrink it on memory-tight chips.
     """
+    if int(window) < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     spec = BatchSpec(seq_len=seq_len, num_img_tokens=model.cfg.num_img_tokens)
     prompt = build_gen_batch(model.tokenizer, [instruction], spec)
     prompt = shard_batch(prompt, None)  # single-sample host arrays -> device
@@ -282,7 +288,6 @@ def make_sample_fn(
         # chunks of a Cohen-standard n=100k run up front would request
         # hundreds of GB of HBM on a chip the model already nearly
         # fills. A window of a few chunks gives the same overlap.
-        window = 4
         from collections import deque
 
         pending: "deque" = deque()

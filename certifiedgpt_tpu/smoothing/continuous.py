@@ -34,7 +34,6 @@ dataset-scale serving mode for the capability.
 
 from __future__ import annotations
 
-import time
 from collections import deque
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
@@ -47,9 +46,8 @@ from certifiedgpt_tpu.models.minigpt4 import generate_greedy
 from certifiedgpt_tpu.parallel.mesh import batch_divisor, data_sharding
 from certifiedgpt_tpu.smoothing.smoothing import (
     ABSTAIN,
-    binom_p_value,
-    certified_radius,
-    clopper_pearson_lower,
+    certify_from_counts,
+    predict_from_counts,
 )
 
 
@@ -250,6 +248,12 @@ class ContinuousCertifier:
             raise ValueError("predict mode requires n0=0")
         if int(num_slots) < 1:
             raise ValueError(f"num_slots must be >= 1, got {num_slots}")
+        if int(n) < 1:
+            # zero estimation draws would consume every job without
+            # dispatching a row and die as a bogus "scheduler bug" at the
+            # end of run() (the serial Smooth abstains on n=0; here a
+            # loud config error beats a silent all-abstain run)
+            raise ValueError(f"n must be >= 1, got {n}")
         if int(window) < 1:
             # window=0 would dispatch nothing and surface as a bogus
             # "scheduler bug" error at the end of run()
@@ -291,22 +295,15 @@ class ContinuousCertifier:
         self._pos_bank[slot] = prompt["img_pos"][0]
 
     def _finalize(self, job: _ImageJob) -> Dict[str, Any]:
+        # the decision rules live in smoothing.py (certify_from_counts /
+        # predict_from_counts) — shared with the serial Smooth class so
+        # the two modes cannot diverge
         if self.mode == "predict":
-            # Smooth.predict semantics: top class of n draws, abstain
-            # unless the top-2 split passes the two-sided binomial test
-            top2 = job.est_counts.argsort()[::-1][:2]
-            c_a, c_b = int(top2[0]), int(top2[1])
-            n_a, n_b = int(job.est_counts[c_a]), int(job.est_counts[c_b])
-            if binom_p_value(n_a, n_a + n_b, 0.5) > self.alpha:
-                return {"label": ABSTAIN, "radius": 0.0, "index": job.index}
-            return {"label": c_a, "radius": 0.0, "index": job.index}
-        c_a = int(np.argmax(job.sel_counts))
-        n_a = int(job.est_counts[c_a])
-        p_a_bar = clopper_pearson_lower(n_a, self.n, self.alpha)
-        if p_a_bar < 0.5:
-            label, radius = ABSTAIN, 0.0
-        else:
-            label, radius = c_a, certified_radius(self.sigma, p_a_bar)
+            label = predict_from_counts(job.est_counts, self.alpha)
+            return {"label": label, "radius": 0.0, "index": job.index}
+        label, radius = certify_from_counts(
+            job.sel_counts, job.est_counts, self.n, self.alpha, self.sigma
+        )
         return {"label": label, "radius": radius, "index": job.index}
 
     # ------------------------------------------------------------------

@@ -26,8 +26,7 @@ equivalent here — noise is drawn on device from counter-based
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 from scipy.stats import binomtest, norm
@@ -36,10 +35,12 @@ from scipy.stats import beta as beta_dist
 ABSTAIN = -1
 
 # certify() draws two independent streams (selection, estimation). The
-# agents seed consecutive questions as seed+idx, so a small "+1" for the
-# estimation stream would be bit-identical to the NEXT question's
-# selection stream; a large stride keeps the streams disjoint for any
-# realistic dataset size.
+# agents derive per-image seeds through the splitmix64 hash
+# ``agents.certify.certify_seed`` (62-bit, sigma folded in), so the only
+# invariant this offset must provide is that one image's selection and
+# estimation streams differ; the wide stride additionally keeps the
+# streams disjoint even for callers that DO seed consecutively
+# (``Smooth`` is a public class — its callers are not required to hash).
 _ESTIMATION_SEED_OFFSET = 1 << 20
 
 
@@ -84,6 +85,40 @@ def certified_radius_two_class(
     """The README's two-class form R = sigma/2 (Phi^-1(pA) - Phi^-1(pB))
     (ref ``README.md:54``), provided for analysis parity."""
     return float(0.5 * sigma * (norm.ppf(p_a_lower) - norm.ppf(p_b_upper)))
+
+
+def certify_from_counts(
+    sel_counts: np.ndarray,
+    est_counts: np.ndarray,
+    n: int,
+    alpha: float,
+    sigma: float,
+) -> Tuple[int, float]:
+    """Cohen's certify decision from the two count vectors: top class of
+    the selection counts, Clopper-Pearson lower bound of its estimation
+    count, abstain iff pA_bar < 0.5 else R = sigma * Phi^-1(pA_bar)
+    (ref ``smoothing.py:44-56``). The SINGLE home of the decision rule —
+    ``Smooth.certify`` and the continuous-batching scheduler both call
+    it, so the serial and continuous modes cannot silently diverge."""
+    c_a = int(np.argmax(sel_counts))
+    n_a = int(est_counts[c_a])
+    p_a_bar = clopper_pearson_lower(n_a, n, alpha)
+    if p_a_bar < 0.5:
+        return ABSTAIN, 0.0
+    return c_a, certified_radius(sigma, p_a_bar)
+
+
+def predict_from_counts(counts: np.ndarray, alpha: float) -> int:
+    """Smooth.predict's decision from the count vector: top class, with
+    a two-sided binomial test on the top-2 split; abstain iff the
+    p-value exceeds alpha (ref ``smoothing.py:58-79``). Shared by
+    ``Smooth.predict`` and the continuous-batching scheduler."""
+    top2 = counts.argsort()[::-1][:2]
+    c_a, c_b = int(top2[0]), int(top2[1])
+    n_a, n_b = int(counts[c_a]), int(counts[c_b])
+    if binom_p_value(n_a, n_a + n_b, 0.5) > alpha:
+        return ABSTAIN
+    return c_a
 
 
 class Smooth:
@@ -143,13 +178,8 @@ class Smooth:
             # like predict does rather than report a large radius
             return ABSTAIN, 0.0
         counts0 = self._counts(x, n0, seed)
-        c_a = int(np.argmax(counts0))
         counts = self._counts(x, n, seed + _ESTIMATION_SEED_OFFSET)
-        n_a = int(counts[c_a])
-        p_a_bar = clopper_pearson_lower(n_a, n, alpha)
-        if p_a_bar < 0.5:
-            return ABSTAIN, 0.0
-        return c_a, certified_radius(self.sigma, p_a_bar)
+        return certify_from_counts(counts0, counts, n, alpha, self.sigma)
 
     # ------------------------------------------------------------------
     def predict(self, x, n: int, alpha: float, seed: int = 0) -> int:
@@ -161,9 +191,4 @@ class Smooth:
             # pass (certify guards the same way)
             return ABSTAIN
         counts = self._counts(x, n, seed)
-        top2 = counts.argsort()[::-1][:2]
-        c_a, c_b = int(top2[0]), int(top2[1])
-        n_a, n_b = int(counts[c_a]), int(counts[c_b])
-        if binom_p_value(n_a, n_a + n_b, 0.5) > alpha:
-            return ABSTAIN
-        return c_a
+        return predict_from_counts(counts, alpha)

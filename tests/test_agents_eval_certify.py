@@ -634,6 +634,31 @@ def test_continuous_predict_matches_serial_at_sigma0(eval_setup):
     assert "images_per_hour" in c_summary
 
 
+def test_catch_all_other_class_never_scores_correct():
+    """Regression: the catch-all OTHER class ("none of the candidates")
+    displays as "<other>", which the official normalizer strips to the
+    legitimate VQA answer "other" — scoring by text would count a
+    catch-all certificate as correct whenever humans answered "other".
+    label_correct must score by label id and always reject other_label
+    (and ABSTAIN), while the real vocab class for "other" still scores."""
+    from certifiedgpt_tpu.agents.certify import SmoothedVQAAgentBase
+    from certifiedgpt_tpu.smoothing.classifier import AnswerVocabulary
+    from certifiedgpt_tpu.smoothing.smoothing import ABSTAIN
+
+    gt = ["other"] * 4 + ["unknown"] * 6
+    vocab = AnswerVocabulary(gt)
+    other_class = vocab.label_of("other")  # the REAL answer "other"
+    assert other_class != vocab.other_label
+    # the text route would (wrongly) accept the catch-all:
+    assert SmoothedVQAAgentBase.is_correct(
+        vocab.text_of(vocab.other_label), gt
+    )
+    # the label route must not:
+    assert not SmoothedVQAAgentBase.label_correct(vocab.other_label, vocab, gt)
+    assert not SmoothedVQAAgentBase.label_correct(ABSTAIN, vocab, gt)
+    assert SmoothedVQAAgentBase.label_correct(other_class, vocab, gt)
+
+
 def test_continuous_predict_mode_guards():
     """predict mode has no selection phase: n0 must be 0; unknown modes
     are rejected."""
@@ -666,6 +691,13 @@ def test_continuous_predict_mode_guards():
             None, sigma=0.5, n0=4, n=8, alpha=0.05, mc_batch=4,
             max_new_tokens=2, seq_len=16, gen=lambda *a: None,
             num_slots=0,
+        )
+    # n=0 would consume every job without dispatching a row and die as a
+    # bogus "scheduler bug" at the end of run()
+    with pytest.raises(ValueError, match="n must be"):
+        ContinuousCertifier(
+            None, sigma=0.5, n0=4, n=0, alpha=0.05, mc_batch=4,
+            max_new_tokens=2, seq_len=16, gen=lambda *a: None,
         )
 
 
