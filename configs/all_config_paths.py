@@ -13,6 +13,9 @@ TRAIN_CONFIGS = {
     "vqav2_noise_0": _p("train_configs", "vqav2_finetuning_noise_0.yaml"),
     "vqav2_noise_0.25": _p("train_configs", "vqav2_finetuning_noise_0.25.yaml"),
     "vqav2_noise_0.5": _p("train_configs", "vqav2_finetuning_noise_0.5.yaml"),
+    "vqav2_noise_0.5_w8a8": _p(
+        "train_configs", "vqav2_finetuning_noise_0.5_w8a8.yaml"
+    ),
     "vqav2_noise_1.0": _p("train_configs", "vqav2_finetuning_noise_1.0.yaml"),
     "cc_sbu": _p("train_configs", "cc_sbu_finetuning.yaml"),
 }

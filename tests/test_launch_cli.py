@@ -60,6 +60,50 @@ def cli_setup(tmp_path):
     return tmp_path, img_dir
 
 
+def test_launch_train_cli_w8a8(cli_setup):
+    """The W8A8 train/serve-matched mode (shipped
+    vqav2_finetuning_noise_0.5_w8a8.yaml): training against int8 frozen
+    towers with dynamic activation quant must run end-to-end through the
+    CLI — the straight-through vjp makes the projection's gradients
+    flow through the quantized decoder."""
+    tmp_path, img_dir = cli_setup
+    cfg = {
+        "model": {
+            "arch": "minigpt4", "model_size": "tiny",
+            "quantize_vit": True, "quantize_llama": True,
+            "act_quant": True,
+        },
+        "datasets": {
+            "vqav2": {
+                "vis_processor": {
+                    "train": {"name": "blip2_image_train", "image_size": 28}
+                },
+                "text_processor": {"train": {"name": "blip_caption"}},
+                "build_info": {
+                    "images": {"storage": str(img_dir)},
+                    "questions": {"train": [str(tmp_path / "q.json")]},
+                    "annotations": {"train": [str(tmp_path / "a.json")]},
+                },
+            }
+        },
+        "run": {
+            "max_epoch": 1,
+            "batch_size": 8,
+            "seq_len": 48,
+            "iters_per_epoch": 1,
+            "has_val_split": False,
+            "output_dir": str(tmp_path / "out_train_w8a8"),
+        },
+    }
+    cfg_path = tmp_path / "train_w8a8.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    result = _run_cli("train", cfg_path)
+    assert result.returncode == 0, result.stderr[-2000:]
+    out = tmp_path / "out_train_w8a8"
+    assert (out / "checkpoint_best.npz").exists()
+    assert (out / "loss_history.json").exists()
+
+
 def test_launch_train_cli(cli_setup):
     tmp_path, img_dir = cli_setup
     cfg = {
