@@ -23,9 +23,12 @@ is a dependency-free byte-level tokenizer used by tests and toy configs.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+
+_LOG = logging.getLogger("certifiedgpt_tpu")
 
 IMAGE_PLACEHOLDER = "<ImageHere>"
 IGNORE_INDEX = -100
@@ -143,6 +146,11 @@ def build_train_batch(
         full = prompt + ans_ids + [tokenizer.eos_token_id]
         if len(full) > s:
             # keep the answer; truncate the text after the image span
+            _LOG.warning(
+                "train prompt+answer exceeds seq_len=%d by %d tokens; "
+                "truncating the post-image text (raise run.seq_len)",
+                s, len(full) - s,
+            )
             overflow = len(full) - s
             keep_after = max(len(after) - overflow, 0)
             after = after[:keep_after]
@@ -280,7 +288,19 @@ def build_gen_batch(
             + after
         )
         if len(prompt) > s:
-            after = after[: max(s - 1 - len(before) - spec.num_img_tokens, 0)]
+            # keep the TAIL of the post-image text: it ends with the
+            # conversation template's assistant cue (e.g. " [/INST]"),
+            # and a prompt whose cue is chopped makes the model continue
+            # the question instead of answering — truncating the
+            # question's front is the lesser harm. Loud, not silent:
+            # the user should raise run.seq_len.
+            keep = max(s - 1 - len(before) - spec.num_img_tokens, 0)
+            _LOG.warning(
+                "prompt exceeds seq_len=%d by %d tokens; truncating the "
+                "front of the post-image text (raise run.seq_len to fit)",
+                s, len(prompt) - s,
+            )
+            after = after[len(after) - keep:] if keep else []
             prompt = (
                 [tokenizer.bos_token_id]
                 + before

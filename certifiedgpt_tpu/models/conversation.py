@@ -175,7 +175,7 @@ class Chat:
         import jax.numpy as jnp
 
         from certifiedgpt_tpu.data.loader import shard_batch
-        from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch, clean_answer
+        from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch
         from certifiedgpt_tpu.models.minigpt4 import generate
 
         self.conv.append_message(self.conv.roles[1], None)
@@ -205,9 +205,15 @@ class Chat:
         eos = self.model.tokenizer.eos_token_id
         if eos in ids:
             ids = ids[: ids.index(eos)]
-        text = clean_answer(
-            self.model.tokenizer.decode(ids, skip_special_tokens=True)
-        )
+        # strip role/special markers but PRESERVE case (the reference
+        # Chat stores the decoded text verbatim in the history, ref
+        # ``conversation.py:185-194``) — ``clean_answer`` is the
+        # eval-scorer cleanup and lowercases, which would corrupt the
+        # next turn's context ("Paris" -> "paris")
+        text = self.model.tokenizer.decode(ids, skip_special_tokens=True)
+        for marker in ("</s>", "<s>", "[/INST]", "<unk>"):
+            text = text.replace(marker, "")
+        text = text.strip()
         self.conv.messages[-1][1] = text
         return text
 
@@ -231,6 +237,7 @@ class Chat:
             embed_tokens,
             init_kv_cache,
             llama_apply,
+            lm_head_logits,
         )
         from certifiedgpt_tpu.models.minigpt4 import assemble_embeds, encode_img
 
@@ -255,11 +262,14 @@ class Chat:
         cache_mask = jnp.concatenate(
             [mask, jnp.ones((1, max_new_tokens), jnp.int32)], axis=1
         )
-        logits, _, cache = llama_apply(
+        # prefill needs only the LAST position's logits — skip the
+        # [1, S, vocab] lm_head over the whole prompt (generate() does
+        # the same, models/minigpt4.py)
+        _, hidden, cache = llama_apply(
             params["llama"], cfg.llama, embeds, cache_mask, positions,
-            kv_cache=cache, cache_offset=jnp.int32(0),
+            kv_cache=cache, cache_offset=jnp.int32(0), compute_logits=False,
         )
-        token = int(jnp.argmax(logits[0, -1]))
+        token = int(jnp.argmax(lm_head_logits(params["llama"], hidden[0, -1])))
         eos = self.model.tokenizer.eos_token_id
         ids: list = []
         emitted = ""

@@ -213,11 +213,15 @@ def interpolate_pos_embed(
 
     Reproduces the reference's pos-embed interpolation for 448px inputs
     (ref ``eva_vit.py:383-404``): the cls entry is kept, the patch grid is
-    reshaped to 2-D, resized bicubically, and re-flattened.
+    reshaped to 2-D, resized bicubically, and re-flattened. The resize
+    goes through torch's ``F.interpolate`` — the kernel the reference
+    uses (Keys cubic a=-0.75, align_corners=False); ``jax.image.resize``
+    's "bicubic" is the a=-0.5 variant and differs at every position,
+    which would put a systematic offset under every converted real
+    checkpoint. Falls back to the jax kernel only when torch is absent
+    (conversion is offline torch-checkpoint tooling, so it never is in
+    practice).
     """
-    import jax
-    import jax.image
-
     pos = _np(pos_embed)
     if pos.ndim == 3:
         pos = pos[0]
@@ -228,11 +232,28 @@ def interpolate_pos_embed(
         return pos[None]
     extra, patch = pos[:num_extra], pos[num_extra:]
     dim = pos.shape[-1]
-    patch = patch.reshape(grid_old, grid_old, dim)
-    resized = jax.image.resize(
-        jnp.asarray(patch, jnp.float32), (grid_new, grid_new, dim), method="bicubic"
-    )
-    resized = np.asarray(resized).reshape(grid_new * grid_new, dim)
+    patch = np.asarray(patch, np.float32).reshape(grid_old, grid_old, dim)
+    try:
+        import torch
+        import torch.nn.functional as F
+
+        t = torch.from_numpy(patch).permute(2, 0, 1)[None]  # [1, D, G, G]
+        r = F.interpolate(
+            t, size=(grid_new, grid_new), mode="bicubic",
+            align_corners=False,
+        )
+        resized = r[0].permute(1, 2, 0).numpy()
+    except ImportError:  # pragma: no cover - torch is baked into the image
+        import jax
+        import jax.image
+
+        resized = np.asarray(
+            jax.image.resize(
+                jnp.asarray(patch), (grid_new, grid_new, dim),
+                method="bicubic",
+            )
+        )
+    resized = resized.reshape(grid_new * grid_new, dim)
     return np.concatenate([extra, resized], axis=0)[None]
 
 

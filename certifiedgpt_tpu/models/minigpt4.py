@@ -151,7 +151,10 @@ def encode_img(
     (ref ``minigpt4.py:121-149``).
     """
     feats = eva_vit_apply(params["vit"], cfg.vit, images)
-    feats = L.layer_norm(params["ln_vision"], feats)
+    # ln_vision is a plain torch nn.LayerNorm in the reference
+    # (ref ``base_model.py:160``) — default eps 1e-5, NOT the ViT's
+    # internal 1e-6 (ref ``eva_vit.py:436``)
+    feats = L.layer_norm(params["ln_vision"], feats, eps=1e-5)
     queries = qformer_apply(params["qformer"], cfg.qformer, feats)
     out = L.dense(params["llama_proj"], queries.astype(jnp.float32))
     return out.astype(cfg.llama.dtype)

@@ -227,16 +227,12 @@ class MiniGPT4Model:
             logger.info("Loading Q-Former weights from %s", qformer_path)
             sd = _torch_load(str(qformer_path))
             sd = sd.get("model", sd)
+            # convert_qformer_state_dict extracts the checkpoint-root
+            # query_tokens itself (convert.py); keep the random init only
+            # when the checkpoint genuinely lacks them
             converted = convert_qformer_state_dict(
                 sd, cfg.qformer, prefix="Qformer.bert."
             )
-            if "query_tokens" in sd:
-                import numpy as np
-
-                converted["query_tokens"] = jnp.asarray(
-                    np.asarray(sd["query_tokens"].detach().float().numpy()),
-                    cfg.qformer.dtype,
-                )
             converted.setdefault("query_tokens", params["qformer"]["query_tokens"])
             params["qformer"] = converted
 
@@ -310,19 +306,21 @@ class MiniGPT4Model:
 
     @staticmethod
     def _load_projection(params: Dict[str, Any], sd: Dict[str, Any]) -> None:
-        import numpy as np
+        # convert.py's _np/_kernel/_vec own tensor conversion (they also
+        # accept numpy values and non-CPU tensors — hand-rolled
+        # .detach().numpy() here would not)
+        from certifiedgpt_tpu.models.convert import _kernel, _vec
 
         for key, value in sd.items():
-            arr = np.asarray(value.detach().float().numpy())
             if key.endswith("llama_proj.weight"):
-                params["llama_proj"]["kernel"] = jnp.asarray(arr.T, jnp.float32)
+                params["llama_proj"]["kernel"] = _kernel(value, jnp.float32)
             elif key.endswith("llama_proj.bias"):
-                params["llama_proj"]["bias"] = jnp.asarray(arr, jnp.float32)
+                params["llama_proj"]["bias"] = _vec(value, jnp.float32)
             elif key.endswith("ln_vision.weight"):
-                params["ln_vision"]["scale"] = jnp.asarray(
-                    arr, params["ln_vision"]["scale"].dtype
+                params["ln_vision"]["scale"] = _vec(
+                    value, params["ln_vision"]["scale"].dtype
                 )
             elif key.endswith("ln_vision.bias"):
-                params["ln_vision"]["bias"] = jnp.asarray(
-                    arr, params["ln_vision"]["bias"].dtype
+                params["ln_vision"]["bias"] = _vec(
+                    value, params["ln_vision"]["bias"].dtype
                 )

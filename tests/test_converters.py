@@ -80,6 +80,33 @@ def test_eva_vit_converter_interpolates_pos_embed():
     assert params["pos_embed"].shape == (1, cfg.seq_len, cfg.embed_dim)
 
 
+def test_pos_embed_interpolation_matches_torch_bicubic():
+    """Pin the resize kernel: the reference interpolates with torch
+    F.interpolate bicubic (Keys a=-0.75, align_corners=False, ref
+    eva_vit.py:401); jax.image.resize's 'bicubic' is the a=-0.5 kernel
+    and differs at every position. Conversion fidelity of real
+    checkpoints depends on matching torch exactly."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from certifiedgpt_tpu.models.convert import interpolate_pos_embed
+
+    rng = np.random.RandomState(3)
+    g_old, g_new, d = 4, 8, 6
+    pos = rng.randn(1, g_old * g_old + 1, d).astype(np.float32)
+    out = interpolate_pos_embed(pos, g_new * g_new)
+
+    patch = torch.from_numpy(pos[0, 1:].reshape(g_old, g_old, d))
+    ref = F.interpolate(
+        patch.permute(2, 0, 1)[None], size=(g_new, g_new),
+        mode="bicubic", align_corners=False,
+    )[0].permute(1, 2, 0).reshape(g_new * g_new, d).numpy()
+    np.testing.assert_allclose(out[0, 1:], ref, atol=1e-6)
+    np.testing.assert_allclose(out[0, :1], pos[0, :1], atol=0)
+
+
 def test_qformer_converter_blip2_prefix():
     """The vendored-BERT key dialect with the Qformer.bert. scope."""
     cfg = QFormerConfig.tiny()

@@ -134,7 +134,9 @@ def assembly():
     cfg = MiniGPT4Config.tiny()
 
     eva = _torch_eva(cfg.vit).eval()
-    ln_vision = torch.nn.LayerNorm(cfg.vit.embed_dim, eps=1e-6).eval()
+    # the reference's ln_vision is a default-eps (1e-5) nn.LayerNorm
+    # (ref base_model.py:160) — distinct from the ViT's internal 1e-6
+    ln_vision = torch.nn.LayerNorm(cfg.vit.embed_dim).eval()
     with torch.no_grad():
         ln_vision.weight.copy_(1.0 + 0.05 * torch.randn(cfg.vit.embed_dim))
         ln_vision.bias.copy_(0.05 * torch.randn(cfg.vit.embed_dim))
