@@ -41,7 +41,26 @@ class BaseAgent:
         self.mesh = make_mesh(n_model=n_model, n_dcn=n_dcn)
 
         self.model = self.build_model()
+        if self.mesh.shape.get("model", 1) > 1:
+            self._shard_model_params()
         self.loss_history: Dict[str, list] = {"train": [], "val": []}
+
+    def _shard_model_params(self) -> None:
+        """run.model_parallel > 1: actually lay the frozen decoder out
+        over the ``model`` axis (Megatron specs, parallel/mesh.py) and
+        replicate the other towers. Building the mesh without placing
+        the params would leave GSPMD to replicate everything — the knob
+        would silently not deliver the memory split it exists for."""
+        from certifiedgpt_tpu.parallel.mesh import partition_llama, replicated
+
+        params = self.model.params
+        params["llama"] = partition_llama(params["llama"], self.mesh)
+        sharding = replicated(self.mesh)
+        for key in list(params.keys()):
+            if key != "llama":
+                params[key] = jax.tree.map(
+                    lambda x: jax.device_put(x, sharding), params[key]
+                )
 
     # ------------------------------------------------------------------
     def build_model(self):

@@ -218,18 +218,12 @@ class EvalAgent(BaseAgent):
         raise RuntimeError("No val/test split configured for eval")
 
     def decode_tokens(self, tokens: np.ndarray) -> List[str]:
-        eos = self.model.tokenizer.eos_token_id
-        out = []
-        for row in tokens:
-            ids = [int(t) for t in row]
-            if eos in ids:
-                ids = ids[: ids.index(eos)]
-            out.append(
-                clean_answer(
-                    self.model.tokenizer.decode(ids, skip_special_tokens=True)
-                )
-            )
-        return out
+        from certifiedgpt_tpu.data.text import decode_until_eos
+
+        return [
+            clean_answer(decode_until_eos(self.model.tokenizer, row))
+            for row in tokens
+        ]
 
     # ------------------------------------------------------------------
     def run(self) -> Dict[str, Any]:
@@ -307,9 +301,12 @@ class EvalAgent(BaseAgent):
                     }
                 )
 
-        if not gt_annotations or not gt_annotations[0]["answers"]:
-            # test split (no ground truth): emit the official VQA
-            # submission format and stop (ref testvqav2 flow).
+        if not any(a["answers"] for a in gt_annotations):
+            # test split (NO question has ground truth): emit the
+            # official VQA submission format and stop (ref testvqav2
+            # flow). Keyed on every annotation, not just the first — a
+            # val run whose first question happens to lack answers must
+            # still be scored.
             path = os.path.join(self.output_dir, "vqa_test_predictions.json")
             with open(path, "w") as handle:
                 json.dump(predictions, handle)

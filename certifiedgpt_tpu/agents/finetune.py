@@ -146,12 +146,22 @@ class FinetuneAgent(BaseAgent):
         noise_level, noise_dist = self.noise_level, self.noise_dist
 
         @jax.jit
-        def eval_step(trainable, frozen, batch, rng):
+        def eval_step(trainable, frozen, batch, valid, rng):
             batch = dict(batch)
             batch["image"] = add_input_noise(
                 rng, batch["image"], noise_level, noise_dist
             )
-            return minigpt4_loss(merge_params(trainable, frozen), cfg, batch)
+            # the val tail batch is PADDED to a mesh-divisible size
+            # (_run_validation) and the padded rows must not enter the
+            # early-stop signal: per-sample losses masked by ``valid``,
+            # returned as two REPLICATED scalars (a per-sample array
+            # would not be host-convertible under multi-process SPMD)
+            losses = minigpt4_loss(
+                merge_params(trainable, frozen), cfg, batch,
+                reduction="none",
+            )
+            v = valid.astype(losses.dtype)
+            return jnp.sum(losses * v), jnp.sum(v)
 
         return eval_step
 
@@ -163,6 +173,17 @@ class FinetuneAgent(BaseAgent):
             if builder_cls is None:
                 raise KeyError(f"Unknown builder '{name}'")
             for split, dataset in builder_cls().build_datasets().items():
+                if split in loaders:
+                    # first configured dataset wins, like the eval/certify
+                    # agents — silently overwriting would train on only
+                    # the LAST dataset of a multi-dataset config
+                    self.logger.warning(
+                        "dataset '%s' also provides split '%s'; keeping "
+                        "the first configured dataset (one dataset per "
+                        "finetune run, ref trains one dataset per config)",
+                        name, split,
+                    )
+                    continue
                 # hand the model's alignment prompt pool to datasets that
                 # draw per-sample prompts (ref minigpt4.py:80-88)
                 prompt_list = getattr(self.model, "prompt_list", None)
@@ -230,18 +251,58 @@ class FinetuneAgent(BaseAgent):
         self.metrics.log_event(f"debug_graph_computation loss={loss_f:.4f}")
         return {"loss": loss_f, "steps": 1}
 
+    @staticmethod
+    def _pad_host_batch(batch, pad_to: int):
+        """Pad every field of a host batch to ``pad_to`` rows by
+        repeating the last row; returns (padded_batch, real_rows)."""
+        n = len(next(iter(batch.values())))
+        if n >= pad_to:
+            return batch, n
+        reps = pad_to - n
+        out = {}
+        for key, val in batch.items():
+            if isinstance(val, np.ndarray):
+                out[key] = np.concatenate([val, np.repeat(val[-1:], reps, 0)])
+            else:
+                out[key] = list(val) + [val[-1]] * reps
+        return out, n
+
     def _run_validation(self, trainable, frozen, val_loader, rng) -> float:
         # sample-weighted mean so the (kept) partial tail batch counts
-        # its actual rows, not a full batch's worth
+        # its actual rows, not a full batch's worth. Every batch is
+        # PADDED to one fixed mesh-divisible size (shard_batch rejects a
+        # global batch the 'data' axis cannot split, and a second shape
+        # would cost a second eval-step compile); a sharded validity
+        # mask drops the padded rows exactly.
+        import math
+
+        from certifiedgpt_tpu.parallel.mesh import batch_divisor
+
+        pc = jax.process_count()
+        step = math.lcm(batch_divisor(self.mesh), pc)
+        pad_to = -(-self.batch_size // step) * step  # global rows
+        local_pad_to = pad_to // pc
         v_sum, v_rows, v_batches = 0.0, 0, 0
         for batch in val_loader:
-            rows = len(next(iter(batch.values())))
+            batch, rows = self._pad_host_batch(batch, local_pad_to)
+            valid = shard_batch(
+                {
+                    "valid": np.concatenate(
+                        [
+                            np.ones((rows,), np.int32),
+                            np.zeros((local_pad_to - rows,), np.int32),
+                        ]
+                    )
+                },
+                self.mesh,
+            )["valid"]
             dev_batch = self.device_batch(batch)
             step_rng = jax.random.fold_in(rng, 10_000_000 + v_batches)
-            v_sum += rows * float(
-                self._eval_step(trainable, frozen, dev_batch, step_rng)
+            loss_sum, count = self._eval_step(
+                trainable, frozen, dev_batch, valid, step_rng
             )
-            v_rows += rows
+            v_sum += float(loss_sum)
+            v_rows += int(count)
             v_batches += 1
         if v_rows == 0:
             # an empty val split would otherwise report 0.0 and poison

@@ -319,6 +319,20 @@ def build_gen_batch(
     }
 
 
+def decode_until_eos(tokenizer, row) -> str:
+    """Decode one generated-token row, stopping at the first EOS.
+
+    The single home of the EOS-truncate-and-decode step shared by the
+    eval agent, the serial certify sampler and the continuous scheduler
+    — one site to change if the stopping rule ever does (e.g. also
+    stopping at pad, or eos == pad)."""
+    ids = [int(t) for t in row]
+    eos = tokenizer.eos_token_id
+    if eos in ids:
+        ids = ids[: ids.index(eos)]
+    return tokenizer.decode(ids, skip_special_tokens=True)
+
+
 def clean_answer(text: str) -> str:
     """Decode-side cleanup (ref eval agent ``:102`` and
     ``minigpt_base.py:438-447``): strip special markers and whitespace."""

@@ -57,7 +57,13 @@ def _gaussian_from_bits(shape):
 
 def _noise_kernel(seed_ref, x_ref, out_ref, *, sigma: float):
     draw = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + draw)
+    # seed with (key-word-0, key-word-1, draw): two independent 32-bit
+    # words give each image a 64-bit stream id, so two images' draw
+    # windows cannot overlap the way ``seed + draw`` windows could
+    # (image B's base seed landing inside image A's [s, s+n) range made
+    # rows of two certificates byte-identical — the exact correlation
+    # agents.certify.certify_seed exists to prevent)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], draw)
     out_ref[0] = x_ref[:] + sigma * _gaussian_from_bits(x_ref.shape)
 
 
@@ -130,7 +136,7 @@ def noisy_tile(
 
     x_flat = x.astype(jnp.float32).reshape(total // _LANES, _LANES)
     seed = jax.random.randint(
-        key, (1,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+        key, (2,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
     )
     out = _noisy_tile_pallas(x_flat, n, sigma, seed)
     return out.reshape(n, h, w, c)

@@ -62,6 +62,15 @@ def make_mesh(
         n_dcn = detect_num_slices(devices)
     if n_dcn <= 1:
         if n_data is None:
+            if len(devices) % n_model:
+                # silently flooring would leave chips idle (8 devices at
+                # model=3 -> a 2x3 mesh with 2 dark chips and ~25% of
+                # throughput quietly gone)
+                raise ValueError(
+                    f"{len(devices)} devices do not divide into "
+                    f"model_parallel={n_model}; pick a divisor or pass "
+                    "n_data explicitly"
+                )
             n_data = len(devices) // n_model
         grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
         return Mesh(grid, ("data", "model"))
@@ -78,6 +87,12 @@ def make_mesh(
         )
     per_slice = len(devices) // n_dcn
     if n_data is None:
+        if per_slice % n_model:
+            raise ValueError(
+                f"{per_slice} devices per slice do not divide into "
+                f"model_parallel={n_model}; pick a divisor or pass "
+                "n_data explicitly"
+            )
         n_data = per_slice // n_model
     if n_data * n_model > per_slice:
         raise ValueError(
@@ -125,18 +140,27 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), params)
 
 
-def llama_param_spec(path_leaf: str) -> P:
+def llama_param_spec(mod: str, leaf: str = "kernel") -> P:
     """Tensor-parallel PartitionSpec for a stacked LLaMA layer leaf.
 
     Megatron-style layout: q/k/v/gate/up shard their output dim, o/down
     shard their input dim, so each block needs exactly one psum on the
     residual — XLA inserts it from these specs.
-    Leaves are [L, in, out] (stacked layers).
+    Kernel leaves are [L, in, out] (stacked layers); int8-quantized
+    modules additionally carry a per-(layer, out-channel) ``scale``
+    [L, out], which shards with the out dim (and stays replicated for
+    the in-sharded modules).
     """
-    if path_leaf in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
-        return P(None, None, "model")
-    if path_leaf in ("o_proj", "down_proj"):
-        return P(None, "model", None)
+    out_sharded = mod in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+    in_sharded = mod in ("o_proj", "down_proj")
+    if leaf in ("kernel", "kernel_q"):
+        if out_sharded:
+            return P(None, None, "model")
+        if in_sharded:
+            return P(None, "model", None)
+        return P()
+    if leaf == "scale":
+        return P(None, "model") if out_sharded else P()
     return P()
 
 
@@ -152,7 +176,7 @@ def partition_llama(llama_params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
             out[top] = {
                 mod: {
                     leaf: jax.device_put(
-                        val, NamedSharding(mesh, llama_param_spec(mod))
+                        val, NamedSharding(mesh, llama_param_spec(mod, leaf))
                     )
                     for leaf, val in leaves.items()
                 }

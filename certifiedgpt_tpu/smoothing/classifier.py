@@ -29,7 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from certifiedgpt_tpu.data.loader import shard_batch
-from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch, clean_answer
+from certifiedgpt_tpu.data.text import (
+    BatchSpec,
+    build_gen_batch,
+    clean_answer,
+    decode_until_eos,
+)
 from certifiedgpt_tpu.parallel.mesh import batch_divisor, data_sharding
 from certifiedgpt_tpu.models.minigpt4 import generate_greedy
 from certifiedgpt_tpu.vqa_tools.vqa_eval import normalize_answer
@@ -308,7 +313,6 @@ def make_sample_fn(
         for chunk in range(min(window, n_chunks)):
             dispatch(chunk)
         done = 0
-        eos = tokenizer.eos_token_id
         next_chunk = min(window, n_chunks)
         while pending:
             tokens = np.asarray(pending.popleft())  # sync on the oldest
@@ -317,11 +321,8 @@ def make_sample_fn(
                 next_chunk += 1
             take = min(mc_batch, num - done)
             for i in range(take):
-                ids = tokens[i].tolist()
-                if eos in ids:
-                    ids = ids[: ids.index(eos)]
                 labels[done + i] = vocab.label_of(
-                    tokenizer.decode(ids, skip_special_tokens=True)
+                    decode_until_eos(tokenizer, tokens[i])
                 )
             done += take
             if done >= num:

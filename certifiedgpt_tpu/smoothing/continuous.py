@@ -41,7 +41,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from certifiedgpt_tpu.data.text import BatchSpec, build_gen_batch
+from certifiedgpt_tpu.data.text import (
+    BatchSpec,
+    build_gen_batch,
+    decode_until_eos,
+)
 from certifiedgpt_tpu.models.minigpt4 import generate_greedy
 from certifiedgpt_tpu.parallel.mesh import batch_divisor, data_sharding
 from certifiedgpt_tpu.smoothing.smoothing import (
@@ -331,7 +335,6 @@ class ContinuousCertifier:
         decode_queue: deque = deque()  # (pending tokens, [jobs per row])
         base_key = jax.random.PRNGKey(seed)
         chunk_idx = 0
-        eos = self.model.tokenizer.eos_token_id
         tokenizer = self.model.tokenizer
 
         def refill_slots():
@@ -418,10 +421,7 @@ class ContinuousCertifier:
             for i, job in enumerate(row_jobs):
                 if job is None:
                     continue
-                ids = tokens[i].tolist()
-                if eos in ids:
-                    ids = ids[: ids.index(eos)]
-                text = tokenizer.decode(ids, skip_special_tokens=True)
+                text = decode_until_eos(tokenizer, tokens[i])
                 job.record(job.vocab.label_of(text))
                 if job.decoded >= job.total and job.result is None:
                     job.result = self._finalize(job)

@@ -267,3 +267,73 @@ def test_small_val_split_still_validates(tiny_run):
     result = agent.run()
     # the partial val batch was evaluated: a real (nonzero) loss monitored
     assert result["best_val"] > 0.0
+
+
+def test_model_parallel_shards_decoder_and_trains(tiny_run):
+    """run.model_parallel > 1 must actually place the frozen decoder
+    over the 'model' mesh axis (Megatron specs) — building the mesh
+    without device_put left GSPMD replicating everything, so the knob
+    was silently inert. The finetune step must still run end-to-end on
+    the dp x tp mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    config, tmp_path = tiny_run
+    data = config.config._data
+    data["run"]["model_parallel"] = 2
+    data["run"]["max_epoch"] = 1
+    data["run"]["iters_per_epoch"] = 1
+    agent = setup_agent(config)
+    assert agent.mesh.shape["model"] == 2
+    spec = agent.model.params["llama"]["layers"]["q_proj"]["kernel"].sharding.spec
+    assert spec == P(None, None, "model")
+    # the vision tower stays replicated
+    vit_leaf = agent.model.params["vit"]["patch_embed"]["kernel"]
+    assert vit_leaf.sharding.spec == P()
+    result = agent.run()
+    assert result["steps"] == 1
+
+
+def test_multi_dataset_finetune_keeps_first_and_warns(tiny_run, caplog):
+    """Two datasets providing the same split: the first configured one
+    wins with a warning (silent overwrite used to train on only the
+    LAST dataset of a multi-dataset config)."""
+    import json as _json
+    import logging
+
+    from PIL import Image as _Image
+
+    config, tmp_path = tiny_run
+    data = config.config._data
+    # a second train-split dataset: a minimal cc_sbu alignment dir
+    cc_dir = tmp_path / "cc_sbu"
+    cc_dir.mkdir()
+    arr = np.random.RandomState(0).randint(0, 255, (32, 32, 3), dtype=np.uint8)
+    _Image.fromarray(arr).save(cc_dir / "1.jpg")
+    (cc_dir / "filter_cap.json").write_text(
+        _json.dumps({"annotations": [{"image_id": 1, "caption": "a cat"}]})
+    )
+    data["datasets"]["cc_sbu"] = {
+        "vis_processor": {
+            "train": {"name": "blip2_image_train", "image_size": 28}
+        },
+        "build_info": {
+            "images": {"storage": str(cc_dir)},
+            "annotations": {"train": [str(cc_dir / "filter_cap.json")]},
+        },
+    }
+    data["run"]["max_epoch"] = 1
+    data["run"]["iters_per_epoch"] = 1
+    agent = setup_agent(config)
+    # the project logger sets propagate=False, so attach caplog's
+    # handler directly
+    logger = logging.getLogger("certifiedgpt_tpu")
+    logger.addHandler(caplog.handler)
+    try:
+        loaders = agent.create_loaders()
+    finally:
+        logger.removeHandler(caplog.handler)
+    # first configured dataset (vqav2) won the 'train' split
+    from certifiedgpt_tpu.data.datasets import VQAv2Dataset
+
+    assert isinstance(loaders["train"].dataset, VQAv2Dataset)
+    assert any("keeping" in r.getMessage() for r in caplog.records)

@@ -230,3 +230,43 @@ def test_tensor_parallel_llama_matches_replicated():
     with mesh:
         out = f(sharded, jax.device_put(x, replicated(mesh)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_tensor_parallel_llama_quantized_leaves():
+    """partition_llama on an int8-quantized decoder: kernel_q shards like
+    the fp kernel and the per-(layer, out-channel) scale shards with the
+    OUT dim (a rank-3 spec on the rank-2 scale leaf used to crash —
+    exactly the memory-constrained int8+TP combination both docstrings
+    advertise). TP logits must still match the replicated quantized
+    forward."""
+    from jax.sharding import PartitionSpec as P
+
+    from certifiedgpt_tpu.ops.quantization import quantize_llama
+    from certifiedgpt_tpu.parallel.mesh import (
+        make_mesh,
+        partition_llama,
+        replicated,
+    )
+
+    cfg = LlamaConfig.tiny()
+    params = quantize_llama(init_llama(jax.random.PRNGKey(0), cfg))
+    b, s = 2, 6
+    ids = jax.random.randint(jax.random.PRNGKey(2), (b, s), 0, cfg.vocab_size)
+    x = embed_tokens(params, ids)
+    mask = jnp.ones((b, s), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    ref, _, _ = llama_apply(params, cfg, x, mask, pos)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = partition_llama(params, mesh)
+    lq = sharded["layers"]["q_proj"]
+    assert lq["kernel_q"].sharding.spec == P(None, None, "model")
+    assert lq["scale"].sharding.spec == P(None, "model")
+    lo = sharded["layers"]["o_proj"]
+    assert lo["kernel_q"].sharding.spec == P(None, "model", None)
+    assert lo["scale"].sharding.spec == P()
+
+    f = jax.jit(lambda p, x: llama_apply(p, cfg, x, mask, pos)[0])
+    with mesh:
+        out = f(sharded, jax.device_put(x, replicated(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
