@@ -316,13 +316,26 @@ class AttackAgent(BaseAgent):
                             convert_eva_vit_state_dict,
                         )
 
-                        params = convert_eva_vit_state_dict(
+                        converted = convert_eva_vit_state_dict(
                             torch.load(str(vit_path), map_location="cpu"), cfg
                         )
-                        loaded = True
-                        self.logger.info(
-                            "Loaded %s weights from %s", name, vit_path
-                        )
+                        # same shape guard as the vit/rn paths above: a
+                        # config-mismatched checkpoint (e.g. the full
+                        # 39-layer eva against a tiny surrogate cfg) must
+                        # fall back loudly, not surface later as an
+                        # opaque shape error inside the jitted PGD trace
+                        if self._shapes_match(params, converted):
+                            params = converted
+                            loaded = True
+                            self.logger.info(
+                                "Loaded %s weights from %s", name, vit_path
+                            )
+                        else:
+                            self.logger.warning(
+                                "eva checkpoint %s does not match "
+                                "surrogate %s config; random init",
+                                vit_path, name,
+                            )
                     except Exception as exc:
                         self.logger.warning(
                             "EVA load failed for %s (%s); random init",
@@ -400,6 +413,16 @@ class AttackAgent(BaseAgent):
                 self.logger.warning(
                     "CLIP text encoder load failed (%s); hash fallback", exc
                 )
+        # loud, like the RANDOM-weights image-backbone warning: every
+        # success rate / similarity / ANCOVA cell is scored by this
+        # encoder, and a bag-of-words hash stand-in silently producing
+        # legit-looking numbers is worse than no numbers
+        self.logger.warning(
+            "No CLIP text encoder available (run.clip_model=%r) — scoring "
+            "with the bag-of-words HASH stand-in; attack metrics are NOT "
+            "comparable to the reference until a CLIP HF dir is mounted",
+            self.run_cfg.get("clip_model"),
+        )
         return _HashTextEncoder()
 
     def _build_victim(self):
@@ -438,8 +461,7 @@ class AttackAgent(BaseAgent):
         budget crossed the pack base)."""
         if sigma is None:
             sigma = self.noise_level
-        mean = np.asarray(CLIP_MEAN, np.float32)
-        std = np.asarray(CLIP_STD, np.float32)
+        mean, std = self._pixel_stats()
         size = self.model.cfg.vit.img_size
         img = jnp.asarray((pixels - mean) / std, jnp.float32)
         img = jax.image.resize(img, (size, size, 3), "bilinear")
@@ -455,21 +477,27 @@ class AttackAgent(BaseAgent):
                 self.model.params, batch, rng, jnp.float32(sigma)
             )
         )[0]
-        ids = [int(t) for t in tokens]
-        eos = self.model.tokenizer.eos_token_id
-        if eos in ids:
-            ids = ids[: ids.index(eos)]
-        return clean_answer(
-            self.model.tokenizer.decode(ids, skip_special_tokens=True)
-        )
+        from certifiedgpt_tpu.data.text import decode_until_eos
+
+        return clean_answer(decode_until_eos(self.model.tokenizer, tokens))
 
     # ------------------------------------------------------------------
+    def _pixel_stats(self):
+        """The vis processor's actual normalization constants (config-
+        overridable — hardcoding CLIP_MEAN/STD would shift the whole
+        pixel space the epsilon ball and clipping operate in whenever a
+        dataset config sets its own mean/std)."""
+        proc = getattr(getattr(self, "_pixel_dataset", None), "vis_processor", None)
+        mean = np.asarray(getattr(proc, "mean", CLIP_MEAN), np.float32)
+        std = np.asarray(getattr(proc, "std", CLIP_STD), np.float32)
+        return mean, std
+
     def run(self) -> Dict[str, Any]:
         dataset = self._dataset()
+        self._pixel_dataset = dataset
         limit = int(self.max_images) if self.max_images else len(dataset)
         limit = min(limit, len(dataset))
-        mean = np.asarray(CLIP_MEAN, np.float32)
-        std = np.asarray(CLIP_STD, np.float32)
+        mean, std = self._pixel_stats()
 
         def to_pixels(item):
             # de-normalize processor output back to [0,1] pixels
