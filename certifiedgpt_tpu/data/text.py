@@ -333,9 +333,18 @@ def decode_until_eos(tokenizer, row) -> str:
     return tokenizer.decode(ids, skip_special_tokens=True)
 
 
-def clean_answer(text: str) -> str:
-    """Decode-side cleanup (ref eval agent ``:102`` and
-    ``minigpt_base.py:438-447``): strip special markers and whitespace."""
+def strip_generation_markers(text: str) -> str:
+    """Strip role/special markers, PRESERVING case (the Chat surface
+    stores this verbatim in conversation history, ref
+    ``conversation.py:185-194`` — lowercasing there would corrupt the
+    next turn's context)."""
     for marker in ("</s>", "<s>", "[/INST]", "<unk>"):
         text = text.replace(marker, "")
-    return text.strip().lower()
+    return text.strip()
+
+
+def clean_answer(text: str) -> str:
+    """Decode-side cleanup for SCORING (ref eval agent ``:102`` and
+    ``minigpt_base.py:438-447``): strip special markers, whitespace and
+    case."""
+    return strip_generation_markers(text).lower()

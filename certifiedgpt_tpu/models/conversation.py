@@ -210,10 +210,11 @@ class Chat:
         # ``conversation.py:185-194``) — ``clean_answer`` is the
         # eval-scorer cleanup and lowercases, which would corrupt the
         # next turn's context ("Paris" -> "paris")
-        text = self.model.tokenizer.decode(ids, skip_special_tokens=True)
-        for marker in ("</s>", "<s>", "[/INST]", "<unk>"):
-            text = text.replace(marker, "")
-        text = text.strip()
+        from certifiedgpt_tpu.data.text import strip_generation_markers
+
+        text = strip_generation_markers(
+            self.model.tokenizer.decode(ids, skip_special_tokens=True)
+        )
         self.conv.messages[-1][1] = text
         return text
 

@@ -237,6 +237,24 @@ def test_gen_batch_minimal_seq_len_truncates_before_text():
     assert batch["attention_mask"].sum() == 5
 
 
+def test_gen_batch_truncation_keeps_assistant_cue():
+    """Oversized generation prompts truncate the FRONT of the post-image
+    text: the trailing tokens carry the conversation template's
+    assistant cue (e.g. ' [/INST]'), and chopping them makes the model
+    continue the question instead of answering."""
+    from certifiedgpt_tpu.data.text import BatchSpec, ByteTokenizer, build_gen_batch
+
+    tok = ByteTokenizer()
+    spec = BatchSpec(seq_len=24, num_img_tokens=4, max_answer_len=4)
+    long_question = "x" * 64  # overflows seq_len by far
+    prompt = f"<ImageHere> {long_question} [/INST]"
+    batch = build_gen_batch(tok, [prompt], spec)
+    ids = batch["input_ids"][0]
+    valid = ids[batch["attention_mask"][0] == 1]
+    tail = tok.decode([int(t) for t in valid[-8:] if t >= 4])
+    assert tail.endswith("[/INST]"), tail
+
+
 def test_multiturn_without_placeholder_still_reserves_image_span():
     """assemble_embeds scatters the image span unconditionally, so a
     first turn without <ImageHere> must still get pad slots at img_pos

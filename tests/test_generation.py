@@ -134,6 +134,14 @@ def test_chat_end_to_end(model):
     answer = chat.answer(max_new_tokens=4, seq_len=64)
     assert isinstance(answer, str)
     assert chat.conv.messages[-1][1] == answer
+    # history preserves the decoded case (the reference Chat stores the
+    # text verbatim; the lowercasing clean_answer is eval-scorer cleanup
+    # and would corrupt multi-turn context, e.g. "Paris" -> "paris")
+    from certifiedgpt_tpu.data.text import strip_generation_markers
+
+    assert strip_generation_markers("The Eiffel [/INST] Tower</s>") == (
+        "The Eiffel  Tower"
+    )
 
 
 def test_eval_conv_template_wrapping():
