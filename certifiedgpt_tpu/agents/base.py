@@ -54,6 +54,12 @@ class BaseAgent:
         from certifiedgpt_tpu.parallel.mesh import partition_llama, replicated
 
         params = self.model.params
+        if "llama" not in params:
+            raise ValueError(
+                "run.model_parallel applies to the LLaMA decoder tower; "
+                f"model arch '{self.config.arch}' has no 'llama' params "
+                "to shard — remove the knob or add a partitioning rule"
+            )
         params["llama"] = partition_llama(params["llama"], self.mesh)
         sharding = replicated(self.mesh)
         for key in list(params.keys()):

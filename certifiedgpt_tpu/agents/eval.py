@@ -301,6 +301,18 @@ class EvalAgent(BaseAgent):
                     }
                 )
 
+        n_empty = sum(1 for a in gt_annotations if not a["answers"])
+        if gt_annotations and 0 < n_empty < len(gt_annotations):
+            # partial annotation files are out of the official protocol's
+            # contract: VQAEval scores an answerless question 0.0 and
+            # keeps it in the accuracy denominator, while the aux
+            # exact/f1 metrics below exclude it — flag the population
+            # mismatch instead of letting two metrics silently disagree
+            self.logger.warning(
+                "%d/%d questions have no ground-truth answers; official "
+                "accuracy counts them as 0.0 while exact/f1 exclude them",
+                n_empty, len(gt_annotations),
+            )
         if not any(a["answers"] for a in gt_annotations):
             # test split (NO question has ground truth): emit the
             # official VQA submission format and stop (ref testvqav2

@@ -284,7 +284,15 @@ class FinetuneAgent(BaseAgent):
         local_pad_to = pad_to // pc
         v_sum, v_rows, v_batches = 0.0, 0, 0
         for batch in val_loader:
+            batch = dict(batch)
+            # the Loader marks how many local rows are REAL (a partial
+            # global tail wraps duplicate rows onto the last process —
+            # the DistributedSampler convention); duplicates must not be
+            # double-counted in the early-stop signal
+            real_rows = batch.pop("__local_real_rows__", None)
             batch, rows = self._pad_host_batch(batch, local_pad_to)
+            if real_rows is not None:
+                rows = min(rows, int(real_rows))
             valid = shard_batch(
                 {
                     "valid": np.concatenate(

@@ -452,7 +452,8 @@ class AttackAgent(BaseAgent):
         self, pixels: np.ndarray, instruction: str, stream: Sequence[int],
         sigma: Optional[float] = None,
     ) -> str:
-        """Victim caption of a [0,1]-pixel image (CLIP-normalized inside);
+        """Victim caption of a [0,1]-pixel image (normalized inside with
+        the dataset vis processor's mean/std — ``_pixel_stats``);
         ``sigma`` is the victim-side smoothing level (defaults to
         ``run.noise_level``). ``stream`` is a tuple of ints folded into
         the run seed one by one — fold_in chaining keeps every caller's

@@ -80,21 +80,29 @@ class Loader:
             return rng.permutation(n)
         return np.arange(n)
 
-    def _local_slice(self, idx: np.ndarray) -> np.ndarray:
-        """This process's rows of a global batch (contiguous split).
+    def _local_slice(self, idx: np.ndarray):
+        """This process's rows of a global batch (contiguous split);
+        returns ``(local_idx, real_rows)``.
 
         A partial final batch (drop_last=False) pads by wrapping to the
         next process_count multiple — the DistributedSampler convention
         (ref ``minigpt4_finetune_agent.py:315-320``) — so every process
-        gets the same non-empty local count and no sample is dropped."""
+        gets the same non-empty local count and no sample is dropped.
+        ``real_rows`` counts the UNWRAPPED rows of this slice (wrapped
+        duplicates land at the tail of the last process's slice), so
+        loss-weighting consumers can exclude the duplicates instead of
+        double-counting samples."""
         if self.process_count <= 1:
-            return idx
+            return idx, len(idx)
+        n_real = len(idx)
         if len(idx) % self.process_count != 0:
             target = -(-len(idx) // self.process_count) * self.process_count
             reps = -(-target // len(idx))
             idx = np.tile(idx, reps)[:target]
         per = len(idx) // self.process_count
-        return idx[self.process_index * per : (self.process_index + 1) * per]
+        start = self.process_index * per
+        real = max(0, min(per, n_real - start))
+        return idx[start : start + per], real
 
     def _batches(self) -> Iterator[Dict[str, Any]]:
         import concurrent.futures
@@ -112,8 +120,10 @@ class Loader:
                     len(idx) < self.batch_size and self.drop_last
                 ):
                     continue
-                idx = self._local_slice(idx)
-                yield self.dataset.collater([load(i) for i in idx])
+                idx, real = self._local_slice(idx)
+                batch = self.dataset.collater([load(i) for i in idx])
+                batch["__local_real_rows__"] = real
+                yield batch
             return
 
         with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
@@ -123,8 +133,10 @@ class Loader:
                     len(idx) < self.batch_size and self.drop_last
                 ):
                     continue
-                idx = self._local_slice(idx)
-                yield self.dataset.collater(list(pool.map(load, idx)))
+                idx, real = self._local_slice(idx)
+                batch = self.dataset.collater(list(pool.map(load, idx)))
+                batch["__local_real_rows__"] = real
+                yield batch
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.prefetch <= 0:

@@ -29,6 +29,17 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 _LOG = logging.getLogger("certifiedgpt_tpu")
+_WARNED: set = set()
+
+
+def _warn_once(key: str, msg: str, *args) -> None:
+    """One warning per call-site key per process — the batch builders
+    run in the training hot loop, where a chronically oversized dataset
+    would otherwise emit one line per sample per epoch."""
+    if key not in _WARNED:
+        _WARNED.add(key)
+        _LOG.warning(msg + " (warning once; further occurrences silent)",
+                     *args)
 
 IMAGE_PLACEHOLDER = "<ImageHere>"
 IGNORE_INDEX = -100
@@ -146,7 +157,8 @@ def build_train_batch(
         full = prompt + ans_ids + [tokenizer.eos_token_id]
         if len(full) > s:
             # keep the answer; truncate the text after the image span
-            _LOG.warning(
+            _warn_once(
+                "train_truncation",
                 "train prompt+answer exceeds seq_len=%d by %d tokens; "
                 "truncating the post-image text (raise run.seq_len)",
                 s, len(full) - s,
@@ -295,7 +307,8 @@ def build_gen_batch(
             # question's front is the lesser harm. Loud, not silent:
             # the user should raise run.seq_len.
             keep = max(s - 1 - len(before) - spec.num_img_tokens, 0)
-            _LOG.warning(
+            _warn_once(
+                "gen_truncation",
                 "prompt exceeds seq_len=%d by %d tokens; truncating the "
                 "front of the post-image text (raise run.seq_len to fit)",
                 s, len(prompt) - s,

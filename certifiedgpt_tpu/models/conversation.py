@@ -201,19 +201,18 @@ class Chat:
                 rng=jax.random.PRNGKey(seed),
             )
         )[0]
-        ids = [int(t) for t in tokens]
-        eos = self.model.tokenizer.eos_token_id
-        if eos in ids:
-            ids = ids[: ids.index(eos)]
         # strip role/special markers but PRESERVE case (the reference
         # Chat stores the decoded text verbatim in the history, ref
         # ``conversation.py:185-194``) — ``clean_answer`` is the
         # eval-scorer cleanup and lowercases, which would corrupt the
         # next turn's context ("Paris" -> "paris")
-        from certifiedgpt_tpu.data.text import strip_generation_markers
+        from certifiedgpt_tpu.data.text import (
+            decode_until_eos,
+            strip_generation_markers,
+        )
 
         text = strip_generation_markers(
-            self.model.tokenizer.decode(ids, skip_special_tokens=True)
+            decode_until_eos(self.model.tokenizer, tokens)
         )
         self.conv.messages[-1][1] = text
         return text

@@ -95,10 +95,8 @@ def test_caption_key_streams_are_disjoint():
     victim smoothing draws. fold_in chaining must keep every caller's
     stream distinct — including across the clean/adv/RGF namespaces and
     across sigma grid rows."""
-    import jax
     from certifiedgpt_tpu.attack.agent import caption_key
 
-    jax.config.update("jax_platforms", "cpu")
     seen = {}
     streams = []
     for idx in range(3):

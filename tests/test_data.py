@@ -237,6 +237,38 @@ def test_gen_batch_minimal_seq_len_truncates_before_text():
     assert batch["attention_mask"].sum() == 5
 
 
+def test_local_slice_reports_real_rows():
+    """A partial global tail wraps duplicate rows onto the last process
+    (DistributedSampler convention); _local_slice must report how many
+    local rows are REAL so validation weighting can exclude the
+    duplicates instead of double-counting samples."""
+    from certifiedgpt_tpu.data.loader import Loader
+
+    class _DS:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {"x": i}
+
+        def collater(self, items):
+            return {"x": [it["x"] for it in items]}
+
+    idx = np.arange(5)
+    l0 = Loader(_DS(), batch_size=6, shuffle=False, drop_last=False,
+                process_index=0, process_count=2, num_workers=1)
+    l1 = Loader(_DS(), batch_size=6, shuffle=False, drop_last=False,
+                process_index=1, process_count=2, num_workers=1)
+    s0, r0 = l0._local_slice(idx)
+    s1, r1 = l1._local_slice(idx)
+    assert list(s0) == [0, 1, 2] and r0 == 3
+    assert list(s1) == [3, 4, 0] and r1 == 2  # the wrapped 0 is not real
+    (b0,) = list(l0)
+    (b1,) = list(l1)
+    assert b0["__local_real_rows__"] == 3
+    assert b1["__local_real_rows__"] == 2
+
+
 def test_gen_batch_truncation_keeps_assistant_cue():
     """Oversized generation prompts truncate the FRONT of the post-image
     text: the trailing tokens carry the conversation template's
