@@ -153,6 +153,12 @@ def test_sharded_sample_fn_on_cpu_mesh():
             model, "q", vocab, sigma=0.5, mc_batch=3, max_new_tokens=2,
             seq_len=32, mesh=mesh,
         )
+    # run.dispatch_window < 1 would dispatch nothing — rejected up front
+    with pytest.raises(ValueError, match="window"):
+        make_sample_fn(
+            model, "q", vocab, sigma=0.5, mc_batch=16, max_new_tokens=2,
+            seq_len=32, mesh=mesh, window=0,
+        )
 
 
 def test_certify_abstains_on_degenerate_single_class_vocab():
