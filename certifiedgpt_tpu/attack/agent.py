@@ -283,7 +283,10 @@ class AttackAgent(BaseAgent):
                         convert_openai_clip_resnet,
                     )
 
-                    sd = torch.load(str(rn_ckpt), map_location="cpu")
+                    sd = torch.load(
+                        str(rn_ckpt), map_location="cpu",
+                        weights_only=False,  # trusted local ckpt
+                    )
                     if hasattr(sd, "state_dict"):
                         sd = sd.state_dict()
                     converted = convert_openai_clip_resnet(sd, cfg)
@@ -317,7 +320,10 @@ class AttackAgent(BaseAgent):
                         )
 
                         converted = convert_eva_vit_state_dict(
-                            torch.load(str(vit_path), map_location="cpu"), cfg
+                            torch.load(
+                                str(vit_path), map_location="cpu",
+                                weights_only=False,  # trusted local
+                            ), cfg
                         )
                         # same shape guard as the vit/rn paths above: a
                         # config-mismatched checkpoint (e.g. the full

@@ -38,7 +38,10 @@ from certifiedgpt_tpu.models.qformer import QFormerConfig
 def _torch_load(path: str):
     import torch
 
-    return torch.load(path, map_location="cpu")
+    # weights_only=False: torch>=2.6 defaults to True, which rejects
+    # LAVIS-style checkpoints that pickle config objects alongside the
+    # tensors; these are trusted local research checkpoints
+    return torch.load(path, map_location="cpu", weights_only=False)
 
 
 def _resolve(path) -> Optional[str]:

@@ -136,7 +136,10 @@ def main():
         ) * mask
         for i in range(3)
     )
-    q, k, v = jax.block_until_ready((q, k, v))
+    # sync via a scalar pull — block_until_ready is a no-op through
+    # the axon tunnel (CLAUDE.md)
+    float(np.asarray(q[0, 0, 0, 0]) + np.asarray(k[0, 0, 0, 0])
+          + np.asarray(v[0, 0, 0, 0]))
 
     @jax.jit
     def builtin_path(q, k, v):

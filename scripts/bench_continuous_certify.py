@@ -39,6 +39,7 @@ def main():
     args = parser.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from bench import build_full_int8_params
     from certifiedgpt_tpu.data.text import ByteTokenizer
@@ -123,13 +124,17 @@ def main():
             mc_batch=mc, max_new_tokens=args.max_new_tokens,
             seq_len=args.seq_len, num_slots=8,
         )
-        # warm the mixed-gen compile with one dummy chunk
+        # warm the mixed-gen compile with one dummy chunk, using the
+        # certifier's OWN host banks converted exactly as run() converts
+        # them — hand-built arrays with different dtypes (e.g. int32 vs
+        # the banks' int64) would silently compile a SECOND full-scale
+        # pipeline and corrupt the timing
         certifier.gen(
             model.params, certifier._image_bank,
-            np.zeros((certifier.num_slots, args.seq_len), np.int32),
-            np.ones((certifier.num_slots, args.seq_len), np.int32),
-            np.zeros((certifier.num_slots,), np.int32),
-            np.zeros((mc,), np.int32),
+            jnp.asarray(certifier._ids_bank),
+            jnp.asarray(certifier._am_bank),
+            jnp.asarray(certifier._pos_bank),
+            jnp.asarray(np.zeros((mc,), np.int32)),
             jax.random.PRNGKey(0), args.sigma,
         )
         t0 = time.time()

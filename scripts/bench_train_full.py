@@ -99,15 +99,17 @@ def main():
         return train_step(trainable, opt_state, frozen, b)
 
     t0 = time.time()
-    tr2, opt2, loss = step(0)
+    _, _, loss = step(0)
     print(
         f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.3f}",
         file=sys.stderr, flush=True,
     )
     reps = 5
     t0 = time.time()
+    # reps re-run the SAME fixed-shape step from the initial state —
+    # this times the compiled step, not a training trajectory
     for i in range(1, reps + 1):
-        trainable_, opt_, loss = step(i)
+        _, _, loss = step(i)
     float(loss)
     dt = (time.time() - t0) / reps
 

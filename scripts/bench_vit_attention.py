@@ -9,7 +9,6 @@ B=50 (bench mc_batch), H=16, S=1025, D=88, bf16, no mask. Candidates:
 Usage: python -u scripts/bench_vit_attention.py [batch]
 """
 
-import functools
 import sys
 import time
 
@@ -106,51 +105,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-
-def bench_bf16_logits(B=50):
-    """Variant: S x S logits stored bf16 (fp32 MXU accum), fp32 softmax math."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    H, S, D = 16, 1025, 88
-    key = jax.random.PRNGKey(0)
-
-    @jax.jit
-    def bf16_path(key):
-        q, k, v = (
-            jax.random.normal(jax.random.fold_in(key, i), (B, S, H, D), jnp.bfloat16)
-            for i in range(3)
-        )
-        scale = jnp.bfloat16(D ** -0.5)
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.bfloat16
-        )
-        m = jnp.max(logits.astype(jnp.float32), axis=-1, keepdims=True)
-        w = jnp.exp(logits.astype(jnp.float32) - m)
-        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-30)
-        out = jnp.einsum(
-            "bhqk,bkhd->bqhd", w.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(q.dtype)
-        return jnp.sum(out[:, 0, 0, 0]), out
-
-    from certifiedgpt_tpu.ops.attention import multi_head_attention
-
-    @jax.jit
-    def xla_path(key):
-        q, k, v = (
-            jax.random.normal(jax.random.fold_in(key, i), (B, S, H, D), jnp.bfloat16)
-            for i in range(3)
-        )
-        out = multi_head_attention(q, k, v)
-        return jnp.sum(out[:, 0, 0, 0]), out
-
-    t0 = timeit(xla_path, key)
-    t1 = timeit(bf16_path, key)
-    _, ref = xla_path(key)
-    _, got = bf16_path(key)
-    import numpy as np
-    diff = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
-    print(f"fp32-logits {t0*1e3:7.1f} ms   bf16-logits {t1*1e3:7.1f} ms   maxdiff={diff:.4f}", flush=True)

@@ -37,7 +37,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import build_full_int8_params, flops_per_draw
+    from bench import build_full_int8_params, chip_peak_tflops, flops_per_draw
     from certifiedgpt_tpu.data.text import ByteTokenizer
     from certifiedgpt_tpu.models.eva_vit import eva_vit_apply
     from certifiedgpt_tpu.models.llama import init_kv_cache, llama_apply
@@ -47,8 +47,6 @@ def main():
         AnswerVocabulary,
         make_sample_fn,
     )
-
-    import dataclasses
 
     from certifiedgpt_tpu.models.eva_vit import EvaViTConfig
 
@@ -118,6 +116,7 @@ def main():
     for r in range(3):
         sample_fn(image, mc_batch, seed=r)
     t_chunk = (time.time() - t0) / 3
+    peak = chip_peak_tflops(jax.devices()[0])
     print(f"full_chunk    {t_chunk*1e3:8.1f} ms", flush=True)
     t_dec = t_chunk - t_enc - t_pre
     print(f"decode+rest   {t_dec*1e3:8.1f} ms (remainder)", flush=True)
@@ -137,9 +136,9 @@ def main():
     ) / 1e12
     print(
         f"chunk TFLOP={tflop:.1f}  "
-        f"vit eff={vit_tflop/t_vit:.0f} TFLOP/s ({vit_tflop/t_vit/197:.0%})  "
-        f"prefill eff={pre_tflop/t_pre:.0f} TFLOP/s ({pre_tflop/t_pre/197:.0%})  "
-        f"chunk eff={tflop/t_chunk:.0f} TFLOP/s ({tflop/t_chunk/197:.0%})",
+        f"vit eff={vit_tflop/t_vit:.0f} TFLOP/s ({vit_tflop/t_vit/peak:.0%})  "
+        f"prefill eff={pre_tflop/t_pre:.0f} TFLOP/s ({pre_tflop/t_pre/peak:.0%})  "
+        f"chunk eff={tflop/t_chunk:.0f} TFLOP/s ({tflop/t_chunk/peak:.0%})",
         flush=True,
     )
 

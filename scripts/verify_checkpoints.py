@@ -35,7 +35,6 @@ real weights.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import glob
 import json
 import os
@@ -65,7 +64,9 @@ BASELINE_CERTIFIED = {
 def _load_sd(path: str):
     import torch
 
-    sd = torch.load(str(path), map_location="cpu")
+    # weights_only=False: stage-2/LAVIS checkpoints pickle config
+    # objects next to the tensors; trusted local files
+    sd = torch.load(str(path), map_location="cpu", weights_only=False)
     for key in ("model_state_dict", "model", "module", "state_dict"):
         if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
             sd = sd[key]
@@ -338,7 +339,7 @@ def _load_hf_llama_sd(path: str, num_layers: int):
                         sd[key] = handle.get_tensor(key).float()
         return sd
     for file in sorted(glob.glob(os.path.join(path, "pytorch_model*.bin"))):
-        shard = torch.load(file, map_location="cpu")
+        shard = torch.load(file, map_location="cpu", weights_only=False)
         sd.update(
             {k: v.float() for k, v in shard.items()
              if k.startswith(wanted_prefixes)}
@@ -450,22 +451,36 @@ def verify_stage_projection(path: str):
         },
     }
     MiniGPT4Model._load_projection(params, sd)
-    kernel_ok = np.allclose(
-        np.asarray(params["llama_proj"]["kernel"]), w.numpy().T
-    )
-    loaded = {
-        k.split(".")[-2] + "." + k.split(".")[-1]
-        for k in sd
-        if any(k.endswith(s) for s in (
-            "llama_proj.weight", "llama_proj.bias",
-            "ln_vision.weight", "ln_vision.bias",
-        ))
+
+    def _match(suffix, leaf, transpose=False):
+        """Every checkpoint tensor with this suffix must land verbatim in
+        its mapped leaf — a wrong/dropped mapping must fail the stage,
+        not just the kernel transpose."""
+        keys = [k for k in sd if k.endswith(suffix)]
+        if not keys:
+            return None  # absent from this checkpoint (e.g. no ln_vision)
+        ref = sd[keys[0]].float().numpy()
+        got = np.asarray(leaf, np.float32)
+        return bool(np.allclose(got, ref.T if transpose else ref))
+
+    checks = {
+        "llama_proj.weight": _match(
+            "llama_proj.weight", params["llama_proj"]["kernel"], transpose=True
+        ),
+        "llama_proj.bias": _match(
+            "llama_proj.bias", params["llama_proj"]["bias"]
+        ),
+        "ln_vision.weight": _match(
+            "ln_vision.weight", params["ln_vision"]["scale"]
+        ),
+        "ln_vision.bias": _match("ln_vision.bias", params["ln_vision"]["bias"]),
     }
+    ok = all(v is not False for v in checks.values())
     return {
-        "stage": "projection", "ok": bool(kernel_ok),
-        "kernel_transposed_correctly": bool(kernel_ok),
+        "stage": "projection", "ok": bool(ok),
+        "mapping_checks": {k: v for k, v in checks.items() if v is not None},
         "proj_shape": [int(in_dim), int(out_dim)],
-        "keys_found": sorted(loaded),
+        "keys_found": sorted(k for k, v in checks.items() if v is not None),
     }
 
 

@@ -108,6 +108,12 @@ def test_stage_projection_on_synthetic_stage2(tmp_path):
     row = vc.verify_stage_projection(str(path))
     assert row["ok"], row
     assert row["proj_shape"] == [8, 16]
+    # every mapped tensor is verified, not just the kernel transpose
+    assert set(row["mapping_checks"]) == {
+        "llama_proj.weight", "llama_proj.bias",
+        "ln_vision.weight", "ln_vision.bias",
+    }
+    assert all(row["mapping_checks"].values())
 
 
 def test_trim_vqa_jsons(tmp_path):
