@@ -81,6 +81,16 @@ class SmoothedVQAAgentBase(BaseAgent):
         # answers are 1-4 tokens, so serving skips most of the decode
         # budget (models/minigpt4.py generate early_exit)
         self.early_exit = bool(run.get("early_exit", False))
+        # exact early stopping of the estimation pass (certify only):
+        # early_abstain stops a draw budget the moment abstention is
+        # already certain — statistically free, bit-identical result
+        # (smoothing.min_count_for_lower_bound); early_stop_radius=R
+        # additionally stops once radius >= R is guaranteed, reporting
+        # the conservative floor (set R >= max(radius_grid) to keep the
+        # summary table identical to the full-budget run's)
+        self.early_abstain = bool(run.get("early_abstain", False))
+        esr = run.get("early_stop_radius")
+        self.early_stop_radius = float(esr) if esr is not None else None
         self.seed = int(run.get("seed", 42))
 
         import jax as _jax
@@ -247,6 +257,10 @@ class SmoothedVQAAgentBase(BaseAgent):
             window=int(self.run_cfg.get("dispatch_window", 4)),
             gen=self._gen_cache["mixed_gen"],
             mode=mode,
+            early_abstain=self.early_abstain if mode == "certify" else False,
+            early_stop_radius=(
+                self.early_stop_radius if mode == "certify" else None
+            ),
         )
 
     def _continuous_run(
@@ -308,6 +322,10 @@ class SmoothedVQAAgentBase(BaseAgent):
                     "elapsed_seconds": round(time.time() - t0, 3),
                     "sigma": self.sigma,
                     "n": self.n,
+                    # draws decoded for this image (< n0 + n when the
+                    # early-stopping rules fired; the freed budget was
+                    # packed with other images' draws)
+                    "draws": int(job.decoded),
                 }
                 extra_row_fields(row, res)
                 rows.append(row)
@@ -416,6 +434,8 @@ class CertifyAgent(SmoothedVQAAgentBase):
                 label, radius = smooth.certify(
                     item["image"], self.n0, self.n, self.alpha,
                     seed=certify_seed(self.seed, idx, self.sigma),
+                    early_abstain=self.early_abstain,
+                    early_stop_radius=self.early_stop_radius,
                 )
                 dt = time.time() - t0
                 text = vocab.text_of(label) if label != ABSTAIN else "<abstain>"
@@ -432,6 +452,10 @@ class CertifyAgent(SmoothedVQAAgentBase):
                     "sigma": self.sigma,
                     "n0": self.n0,
                     "n": self.n,
+                    # draws actually labeled (< n0 + n when early
+                    # stopping fired; device work additionally includes
+                    # up to window x mc_batch in-flight draws)
+                    "draws": int(smooth.last_draws),
                 }
                 rows.append(row)
                 sink.write(json.dumps(row) + "\n")
@@ -494,6 +518,10 @@ class CertifyAgent(SmoothedVQAAgentBase):
             "abstention_rate": abstain / total,
             "standard_accuracy": sum(1 for r in rows if r["correct"]) / total,
             "certified_accuracy_at_radius": certified_acc,
+            # < n0 + n when early_abstain / early_stop_radius fired
+            "mean_draws_per_image": float(
+                np.mean([r["draws"] for r in rows if "draws" in r])
+            ) if any("draws" in r for r in rows) else float(self.n0 + self.n),
             # continuous-mode rows carry only cumulative elapsed_seconds;
             # _continuous_run overwrites this with wall-clock / images
             "mean_seconds_per_image": float(

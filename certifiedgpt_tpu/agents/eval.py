@@ -335,10 +335,11 @@ class EvalAgent(BaseAgent):
         scorer = VQAEval(vqa, res, n=2)
         accuracy = scorer.evaluate()
 
-        # aux metrics (ref :126-166). Guard per-entry: the test-split
-        # branch above keys off the FIRST annotation only, so a val set
-        # where some later question lacks answers must not crash the
-        # whole (already-computed) eval here.
+        # aux metrics (ref :126-166). Guard per-entry: a mixed val set
+        # where SOME questions lack answers reaches this point (only the
+        # all-answerless case returns above as a test split, and the
+        # warning above flagged the population mismatch), so an
+        # answerless entry must not crash the already-computed eval here.
         gt_first = {
             a["question_id"]: a["answers"][0]["answer"]
             for a in gt_annotations

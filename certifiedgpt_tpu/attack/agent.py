@@ -277,16 +277,13 @@ class AttackAgent(BaseAgent):
                 # OpenAI ``visual.*`` ResNet checkpoint (RN50/RN101 rows
                 # of ref README.md:114-115)
                 try:
-                    import torch
-
                     from certifiedgpt_tpu.attack.clip import (
                         convert_openai_clip_resnet,
                     )
+                    from certifiedgpt_tpu.models.model_zoo import _torch_load
 
-                    sd = torch.load(
-                        str(rn_ckpt), map_location="cpu",
-                        weights_only=False,  # trusted local ckpt
-                    )
+                    # tensor-safe load with trusted-local pickle fallback
+                    sd = _torch_load(str(rn_ckpt))
                     if hasattr(sd, "state_dict"):
                         sd = sd.state_dict()
                     converted = convert_openai_clip_resnet(sd, cfg)
@@ -313,17 +310,15 @@ class AttackAgent(BaseAgent):
                 vit_path = self.config.model.get("eva_vit_g_pth")
                 if vit_path and os.path.exists(str(vit_path)):
                     try:
-                        import torch
-
                         from certifiedgpt_tpu.models.convert import (
                             convert_eva_vit_state_dict,
                         )
+                        from certifiedgpt_tpu.models.model_zoo import (
+                            _torch_load,
+                        )
 
                         converted = convert_eva_vit_state_dict(
-                            torch.load(
-                                str(vit_path), map_location="cpu",
-                                weights_only=False,  # trusted local
-                            ), cfg
+                            _torch_load(str(vit_path)), cfg
                         )
                         # same shape guard as the vit/rn paths above: a
                         # config-mismatched checkpoint (e.g. the full

@@ -131,13 +131,22 @@ def embed_tokens(params, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def lm_head_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
-    """Project hidden states [..., D] to vocabulary logits (fp32)."""
-    return jnp.einsum(
+    """Project hidden states [..., D] to vocabulary logits (fp32).
+
+    An optional ``bias`` leaf is added when present (HF LLaMA ships a
+    bias-free head, so checkpoint conversion never sets one; bench.py
+    uses it to bias synthetic weights toward EOS for the early-exit
+    serving measurement)."""
+    logits = jnp.einsum(
         "...d,dv->...v",
         hidden,
         params["lm_head"]["kernel"],
         preferred_element_type=jnp.float32,
     )
+    bias = params["lm_head"].get("bias")
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    return logits
 
 
 # ----------------------------------------------------------------------

@@ -36,12 +36,23 @@ from certifiedgpt_tpu.models.qformer import QFormerConfig
 
 
 def _torch_load(path: str):
+    """Tensor-safe first, full-pickle fallback.
+
+    ``weights_only=True`` covers plain tensor checkpoints without
+    enabling arbitrary-code pickle deserialization; LAVIS-style
+    checkpoints that pickle config objects alongside the tensors fail
+    that mode, so those fall back to ``weights_only=False`` — which is
+    only safe because checkpoint paths come from the user's own
+    configs/env vars and are trusted local research files (the trust
+    assumption is documented in docs/DESIGN.md §4; the reference does a
+    plain ``torch.load``, ref ``base_model.py:60``).
+    """
     import torch
 
-    # weights_only=False: torch>=2.6 defaults to True, which rejects
-    # LAVIS-style checkpoints that pickle config objects alongside the
-    # tensors; these are trusted local research checkpoints
-    return torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        return torch.load(path, map_location="cpu", weights_only=False)
 
 
 def _resolve(path) -> Optional[str]:

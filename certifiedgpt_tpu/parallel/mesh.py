@@ -183,16 +183,30 @@ def partition_llama(llama_params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
                 for mod, leaves in sub.items()
             }
         elif top == "lm_head":
+            # per-leaf specs instead of a fixed-key rebuild: a quantized
+            # lm_head carries kernel_q [d, V] + per-out-channel scale [V]
+            # next to (or instead of) kernel — unknown leaves replicate
+            # rather than KeyError or silently drop
+            lm_specs = {
+                "kernel": P(None, "model"),
+                "kernel_q": P(None, "model"),
+                "scale": P("model"),
+            }
             out[top] = {
-                "kernel": jax.device_put(
-                    sub["kernel"], NamedSharding(mesh, P(None, "model"))
+                leaf: jax.device_put(
+                    val, NamedSharding(mesh, lm_specs.get(leaf, P()))
                 )
+                for leaf, val in sub.items()
             }
         elif top == "embed_tokens":
             out[top] = {
-                "embedding": jax.device_put(
-                    sub["embedding"], NamedSharding(mesh, P("model", None))
+                leaf: jax.device_put(
+                    val,
+                    NamedSharding(
+                        mesh, P("model", None) if leaf == "embedding" else P()
+                    ),
                 )
+                for leaf, val in sub.items()
             }
         else:
             out[top] = jax.tree.map(

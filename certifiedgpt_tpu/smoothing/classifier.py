@@ -90,6 +90,64 @@ class AnswerVocabulary:
         return "<other>"
 
 
+# memory_stats is a device query (slow through the axon tunnel) and the
+# model footprint is static after load — probe each device once per
+# process, not once per image
+_MEM_STATS_CACHE: Dict[int, Optional[dict]] = {}
+
+
+def check_dispatch_window_hbm(
+    window: int,
+    mc_batch: int,
+    img_size: int,
+    device=None,
+    logger=None,
+    stats: Optional[dict] = None,
+) -> int:
+    """Bytes-estimate guard for the async dispatch look-ahead.
+
+    Every in-flight chunk owns a ``[mc_batch, img, img, 3]`` fp32
+    noisy-image buffer from the moment it is enqueued (~240 MB at the
+    full-scale mc=100), so ``window x mc_batch`` can OOM a 16 GB chip
+    mid-run with no earlier signal. Called at sampler construction:
+    raises when the buffers alone exceed the device's free HBM (a config
+    error beats a mid-run OOM), warns past half of it (the running
+    chunk's working set — KV cache, activations — needs the rest).
+    Returns the estimated bytes; skips silently when the backend exposes
+    no memory stats (CPU tests).
+    """
+    est = int(window) * int(mc_batch) * int(img_size) ** 2 * 3 * 4
+    if stats is None:
+        device = device or jax.devices()[0]
+        key = id(device)
+        if key not in _MEM_STATS_CACHE:
+            get = getattr(device, "memory_stats", None)
+            try:
+                _MEM_STATS_CACHE[key] = get() if callable(get) else None
+            except Exception:
+                _MEM_STATS_CACHE[key] = None
+        stats = _MEM_STATS_CACHE[key]
+    if not stats or "bytes_limit" not in stats:
+        return est
+    free = int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+    if est > free:
+        raise ValueError(
+            f"dispatch window x mc_batch needs ~{est / 1e9:.1f} GB of HBM "
+            f"for in-flight noisy-image buffers but only {free / 1e9:.1f} GB "
+            f"is free (window={window}, mc_batch={mc_batch}, "
+            f"img={img_size}); lower run.dispatch_window or run.mc_batch"
+        )
+    if est > free // 2 and logger is not None:
+        logger.warning(
+            "dispatch window buffers (~%.1f GB, window=%d x mc_batch=%d) "
+            "exceed half the free HBM (%.1f GB); the running chunk's "
+            "KV cache/activations share the rest — consider a smaller "
+            "run.dispatch_window",
+            est / 1e9, window, mc_batch, free / 1e9,
+        )
+    return est
+
+
 def make_noisy_generate_fn(
     model,
     sigma: float,
@@ -252,6 +310,12 @@ def make_sample_fn(
     """
     if int(window) < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    import logging
+
+    check_dispatch_window_hbm(
+        window, mc_batch, model.cfg.vit.img_size,
+        logger=logging.getLogger(__name__),
+    )
     spec = BatchSpec(seq_len=seq_len, num_img_tokens=model.cfg.num_img_tokens)
     prompt = build_gen_batch(model.tokenizer, [instruction], spec)
     prompt = shard_batch(prompt, None)  # single-sample host arrays -> device
@@ -279,7 +343,17 @@ def make_sample_fn(
             prompt["input_ids"], prompt["attention_mask"], prompt["img_pos"]
         )
 
-    def sample_fn(x: np.ndarray, num: int, seed: int) -> np.ndarray:
+    def sample_fn(
+        x: np.ndarray, num: int, seed: int, should_stop=None
+    ) -> np.ndarray:
+        """``should_stop(labels_so_far) -> bool`` (optional) is polled
+        after each chunk's labels land; when it fires, the labels drawn
+        so far are returned (a PREFIX of the full-budget stream — chunk
+        keys fold in the chunk index, independent of ``num``, so an
+        early-stopped run sees bit-identical draws to the full run's
+        first k). Chunks already dispatched when it fires are abandoned
+        (their device work is sunk — the look-ahead ``window`` bounds
+        that waste)."""
         image = jnp.asarray(x, jnp.float32)
         labels = np.empty((num,), np.int64)
         base_key = jax.random.PRNGKey(seed)
@@ -327,6 +401,8 @@ def make_sample_fn(
             done += take
             if done >= num:
                 break
+            if should_stop is not None and should_stop(labels[:done]):
+                return labels[:done]
         return labels
 
     return sample_fn

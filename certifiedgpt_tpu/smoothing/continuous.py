@@ -51,6 +51,7 @@ from certifiedgpt_tpu.parallel.mesh import batch_divisor, data_sharding
 from certifiedgpt_tpu.smoothing.smoothing import (
     ABSTAIN,
     certify_from_counts,
+    min_count_for_lower_bound,
     predict_from_counts,
 )
 
@@ -174,7 +175,7 @@ class LazySlice:
 class _ImageJob:
     __slots__ = (
         "index", "item", "vocab", "slot", "enqueued", "decoded",
-        "sel_counts", "est_counts", "n0", "n", "result",
+        "sel_counts", "est_counts", "n0", "n", "result", "c_a",
     )
 
     def __init__(self, index, n0, n):
@@ -193,6 +194,7 @@ class _ImageJob:
         self.sel_counts: Optional[np.ndarray] = None
         self.est_counts: Optional[np.ndarray] = None
         self.result: Optional[Dict[str, Any]] = None
+        self.c_a: Optional[int] = None  # selection top class, cached
 
     def load(self, item: dict, vocab) -> None:
         self.item = item
@@ -243,9 +245,18 @@ class ContinuousCertifier:
         window: int = 4,
         gen=None,
         mode: str = "certify",
+        early_abstain: bool = False,
+        early_stop_radius: Optional[float] = None,
     ):
         if mode not in ("certify", "predict"):
             raise ValueError(f"mode must be certify|predict, got {mode!r}")
+        if mode == "predict" and (early_abstain or early_stop_radius is not None):
+            # predict's two-sided binomial test is NOT a monotone
+            # threshold on one count — a sequential stopping rule there
+            # would spend alpha it never accounted for
+            raise ValueError(
+                "early_abstain/early_stop_radius apply to certify only"
+            )
         if mode == "predict" and int(n0) != 0:
             # predict has no selection phase — every draw feeds the
             # top-2 binomial test (Smooth.predict semantics)
@@ -262,6 +273,18 @@ class ContinuousCertifier:
             # window=0 would dispatch nothing and surface as a bogus
             # "scheduler bug" error at the end of run()
             raise ValueError(f"window must be >= 1, got {window}")
+        # in-flight noisy-image buffers can OOM the chip with no earlier
+        # signal — turn that into a construction-time config error
+        import logging
+
+        from certifiedgpt_tpu.smoothing.classifier import (
+            check_dispatch_window_hbm,
+        )
+
+        check_dispatch_window_hbm(
+            window, mc_batch, model.cfg.vit.img_size,
+            logger=logging.getLogger(__name__),
+        )
         self.mode = mode
         self.model = model
         self.sigma = float(sigma)
@@ -270,6 +293,27 @@ class ContinuousCertifier:
         self.seq_len = int(seq_len)
         self.num_slots = int(num_slots)
         self.window = int(window)
+        # exact early-stopping thresholds (see smoothing.py
+        # min_count_for_lower_bound): abstain-certain frees the job's
+        # remaining draw budget the moment no continuation can certify —
+        # and in THIS scheduler the freed budget immediately packs the
+        # next image's draws into the same chunks, so the saving converts
+        # directly to images/hour (the serial loop can only skip chunks
+        # past its dispatch window)
+        self._m_abstain = (
+            min_count_for_lower_bound(0.5, self.n, self.alpha)
+            if early_abstain else None
+        )
+        self._m_success = None
+        if early_stop_radius is not None and self.sigma > 0:
+            from scipy.stats import norm as _norm
+
+            m = min_count_for_lower_bound(
+                float(_norm.cdf(float(early_stop_radius) / self.sigma)),
+                self.n, self.alpha,
+            )
+            if m <= self.n:
+                self._m_success = m
         self.gen = gen or make_mixed_generate_fn(
             model, mc_batch, max_new_tokens, num_slots,
             seq_len=seq_len, mesh=mesh, noise_dist=noise_dist,
@@ -297,6 +341,23 @@ class ContinuousCertifier:
         self._ids_bank[slot] = prompt["input_ids"][0]
         self._am_bank[slot] = prompt["attention_mask"][0]
         self._pos_bank[slot] = prompt["img_pos"][0]
+
+    def _early_decided(self, job: _ImageJob) -> bool:
+        """True when the job's final certify outcome is already certain
+        (abstain-certain, or success past the radius-floor target) — no
+        alpha spent, see ``min_count_for_lower_bound``. Only meaningful
+        once the selection stream is complete (c_A fixed)."""
+        if (self._m_abstain is None and self._m_success is None) or (
+            job.decoded < job.n0
+        ):
+            return False
+        if job.c_a is None:
+            job.c_a = int(np.argmax(job.sel_counts))
+        c = int(job.est_counts[job.c_a])
+        k = job.decoded - job.n0
+        if self._m_abstain is not None and c + (self.n - k) < self._m_abstain:
+            return True
+        return self._m_success is not None and c >= self._m_success
 
     def _finalize(self, job: _ImageJob) -> Dict[str, Any]:
         # the decision rules live in smoothing.py (certify_from_counts /
@@ -419,11 +480,27 @@ class ContinuousCertifier:
             tokens = np.asarray(tokens)  # sync on the oldest chunk
             dispatch()  # keep the device fed while the host decodes
             for i, job in enumerate(row_jobs):
-                if job is None:
+                if job is None or job.result is not None:
+                    # padding row, or a row of a job whose outcome was
+                    # already early-decided — its label can no longer
+                    # change anything (the certificate is final)
                     continue
                 text = decode_until_eos(tokenizer, tokens[i])
                 job.record(job.vocab.label_of(text))
-                if job.decoded >= job.total and job.result is None:
+                done = job.decoded >= job.total
+                if not done and self._early_decided(job):
+                    done = True
+                    # cancel the job's remaining budget: draws not yet
+                    # enqueued never dispatch (the freed slot refills
+                    # with the next image at the next dispatch); rows
+                    # already in flight are decoded and skipped above
+                    if job.slot is not None and active[job.slot] is job:
+                        active[job.slot] = None
+                if done:
+                    # _finalize on the partial counts is exact here: the
+                    # abstain-certain case is below m_abstain by
+                    # construction (same ABSTAIN as full budget) and the
+                    # success case reports the guaranteed floor radius
                     job.result = self._finalize(job)
                     results[job.index] = job.result
                     if on_result:

@@ -26,7 +26,7 @@ equivalent here — noise is drawn on device from counter-based
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 from scipy.stats import binomtest, norm
@@ -79,6 +79,38 @@ def certified_radius(sigma: float, p_lower: float) -> float:
     return float(sigma * norm.ppf(p_lower))
 
 
+def min_count_for_lower_bound(p: float, n: int, alpha: float) -> int:
+    """Smallest count m in [0, n] whose Clopper-Pearson lower bound
+    reaches ``p`` — ``n + 1`` when even m = n falls short.
+
+    The exact-early-stopping thresholds both derive from this (the
+    bound is monotone in m):
+
+    - abstain-certain: the final decision abstains iff the estimation
+      count of the top class ends below ``m* = min_count(0.5, n, alpha)``;
+      once the count c after k draws satisfies ``c + (n - k) < m*`` no
+      continuation can avoid abstention, so stopping there is
+      statistically FREE — no alpha is spent on the stopping rule (it
+      conditions on a deterministic implication, not on the data beyond
+      what the final test would see) and the returned (ABSTAIN, 0.0) is
+      bit-identical to the full-budget run's.
+    - success-certain: once ``c >= min_count(p_target, n, alpha)`` the
+      final bound is guaranteed to reach ``p_target`` (counts only
+      grow), so a caller that only needs radius >= R can stop and report
+      the conservative floor ``sigma * Phi^-1(CP_lower(c, n, alpha))`` —
+      valid because the full-run count would be >= c and the bound is
+      monotone (couple the unseen draws; they can only raise it).
+    """
+    lo, hi = 0, n + 1
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if clopper_pearson_lower(mid, n, alpha) >= p:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
 def certified_radius_two_class(
     sigma: float, p_a_lower: float, p_b_upper: float
 ) -> float:
@@ -129,6 +161,15 @@ class Smooth:
     and returns hard labels. It owns all device work; this class owns the
     statistics. ``num_classes`` fixes the label set (required for Cohen's
     guarantee: the set must not depend on the draws).
+
+    Early stopping (``certify(..., early_abstain=True)`` /
+    ``early_stop_radius=R``) additionally requires the sample_fn to
+    accept a ``should_stop(labels_so_far) -> bool`` keyword and to
+    return the labels drawn so far when it fires — the draws must be a
+    PREFIX of the full-budget stream (chunk keys independent of the
+    total), which ``classifier.make_sample_fn`` guarantees.
+    ``last_draws`` records the draws consumed by the most recent
+    certify/predict call (n0 + estimation draws actually labeled).
     """
 
     ABSTAIN = ABSTAIN
@@ -142,6 +183,7 @@ class Smooth:
         self.sample_fn = sample_fn
         self.num_classes = num_classes
         self.sigma = float(sigma)
+        self.last_draws = 0
 
     # ------------------------------------------------------------------
     def _counts(self, x, num: int, seed: int) -> np.ndarray:
@@ -168,9 +210,29 @@ class Smooth:
         n: int,
         alpha: float,
         seed: int = 0,
+        early_abstain: bool = False,
+        early_stop_radius: Optional[float] = None,
     ) -> Tuple[int, float]:
         """Return (class, certified radius) or (ABSTAIN, 0.0)
-        (ref ``smoothing.py:29-56``)."""
+        (ref ``smoothing.py:29-56``).
+
+        ``early_abstain``: stop the estimation pass the moment the final
+        abstention is already CERTAIN — after k draws with top-class
+        count c, if ``c + (n - k) < min_count(0.5, n, alpha)`` no
+        continuation reaches pA_bar >= 0.5. Statistically free: no alpha
+        spent, (label, radius) bit-identical to the full-budget run
+        (see ``min_count_for_lower_bound``). The reference always burns
+        the full n (ref ``smoothing.py:44-56``).
+
+        ``early_stop_radius=R``: additionally stop once radius >= R is
+        guaranteed, returning the conservative floor
+        ``sigma * Phi^-1(CP_lower(c, n, alpha))`` (>= R, <= the
+        full-budget radius) — the label matches the full run; only the
+        reported radius is a floor. Use when a radius-grid summary is
+        the product and R >= max(grid): the grid rows are then identical
+        to the full-budget run's.
+        """
+        self.last_draws = 0
         if self.num_classes < 2:
             # degenerate single-class label set (e.g. every ground-truth
             # answer normalizes to empty): every draw trivially maps to
@@ -178,8 +240,60 @@ class Smooth:
             # like predict does rather than report a large radius
             return ABSTAIN, 0.0
         counts0 = self._counts(x, n0, seed)
-        counts = self._counts(x, n, seed + _ESTIMATION_SEED_OFFSET)
+        self.last_draws = n0
+        est_seed = seed + _ESTIMATION_SEED_OFFSET
+        if not early_abstain and early_stop_radius is None:
+            counts = self._counts(x, n, est_seed)
+            self.last_draws += n
+            return certify_from_counts(counts0, counts, n, alpha, self.sigma)
+
+        c_a = int(np.argmax(counts0))
+        m_abstain = min_count_for_lower_bound(0.5, n, alpha) if early_abstain else None
+        m_success = None
+        if early_stop_radius is not None and self.sigma > 0:
+            p_target = float(norm.cdf(early_stop_radius / self.sigma))
+            m_success = min_count_for_lower_bound(p_target, n, alpha)
+            if m_success > n:
+                m_success = None  # unreachable target: never fires
+
+        def should_stop(labels: np.ndarray) -> bool:
+            k = labels.size
+            c = int(np.count_nonzero(labels == c_a))
+            if m_abstain is not None and c + (n - k) < m_abstain:
+                return True
+            if m_success is not None and c >= m_success:
+                return True
+            return False
+
+        labels = np.asarray(
+            self._call_with_stop(x, n, est_seed, should_stop)
+        )
+        if labels.size and labels.max() >= self.num_classes:
+            raise ValueError(
+                f"sample_fn returned label {int(labels.max())} >= "
+                f"num_classes {self.num_classes}"
+            )
+        self.last_draws += int(labels.size)
+        counts = np.bincount(
+            labels[labels >= 0], minlength=self.num_classes
+        ).astype(np.int64)
+        # one shared finalization: with partial counts this yields exactly
+        # ABSTAIN in the abstain-certain case (the partial count is below
+        # m_abstain by construction) and the conservative floor radius in
+        # the success-certain case; with full counts it is the standard
+        # Cohen decision
         return certify_from_counts(counts0, counts, n, alpha, self.sigma)
+
+    def _call_with_stop(self, x, n: int, seed: int, should_stop):
+        try:
+            return self.sample_fn(x, n, seed, should_stop=should_stop)
+        except TypeError as exc:
+            if "should_stop" in str(exc):
+                raise TypeError(
+                    "early_abstain/early_stop_radius need a sample_fn that "
+                    "accepts should_stop= (classifier.make_sample_fn does)"
+                ) from exc
+            raise
 
     # ------------------------------------------------------------------
     def predict(self, x, n: int, alpha: float, seed: int = 0) -> int:

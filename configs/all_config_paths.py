@@ -45,6 +45,12 @@ CERTIFY_CONFIGS = {
     ),
 }
 
+PREDICT_CONFIGS = {
+    "vqav2_predict_noise_0.5": _p(
+        "certify_configs", "vqav2_predict_noise_0.5.yaml"
+    ),
+}
+
 ATTACK_CONFIGS = {
     "vqav2_attack": _p("attack_configs", "vqav2_attack.yaml"),
 }
@@ -54,5 +60,6 @@ DATASET_CONFIGS = {
 }
 
 ALL_CONFIGS = {
-    **TRAIN_CONFIGS, **EVAL_CONFIGS, **CERTIFY_CONFIGS, **ATTACK_CONFIGS,
+    **TRAIN_CONFIGS, **EVAL_CONFIGS, **CERTIFY_CONFIGS, **PREDICT_CONFIGS,
+    **ATTACK_CONFIGS,
 }

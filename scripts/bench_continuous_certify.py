@@ -9,12 +9,31 @@ shipped mc=96) — plus the dispatch bubbles between phases/images;
 continuous batching packs draws from multiple questions into every
 chunk (smoothing/continuous.py).
 
+r4 additions (VERDICT r3 items 1 and 4):
+
+- ``--sigma-grid 0.25,0.5,1.0 --n-grid 200,1000,400``: a ragged per-
+  sigma draw-budget sweep — the continuous scheduler's claimed real use
+  case, where each sigma's budget leaves large partial chunks that the
+  serial loop burns per image and the packer fills. Both modes share
+  ONE compiled pipeline across the whole grid (sigma and the budget
+  are runtime values).
+- ``--early-abstain``: exact sequential stopping (docs/DESIGN.md §3).
+- ``--label-split K``: replace the answer->label mapping with a
+  deterministic text-hash into K classes. Device work and host decode
+  are untouched (the hash runs on the decoded text exactly where
+  label_of would); labels just split ~uniformly, so the run becomes
+  abstain-heavy — the measurable stand-in for a real abstain-heavy
+  dataset, which random weights cannot produce (they answer the same
+  garbage for every draw).
+
 Usage:
   python -u scripts/bench_continuous_certify.py [--small] [--images 20]
-         [--n 1000] [--n0 100] [--mc-batch 50]
+         [--n 1000] [--n0 100] [--mc-batch 50] [--sigma-grid ...]
+         [--n-grid ...] [--early-abstain] [--label-split 2]
 """
 
 import argparse
+import hashlib
 import json
 import sys
 import time
@@ -22,6 +41,22 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+
+
+class _SplitVocab:
+    """AnswerVocabulary veneer that hashes the decoded text into K
+    classes (abstain-heavy synthetic labels; see module docstring)."""
+
+    def __init__(self, k: int):
+        self.num_classes = int(k)
+        self.other_label = 0
+
+    def label_of(self, text: str) -> int:
+        digest = hashlib.blake2b(text.encode(), digest_size=4).digest()
+        return int.from_bytes(digest, "little") % self.num_classes
+
+    def text_of(self, label: int) -> str:
+        return f"<class{label}>"
 
 
 def main():
@@ -34,6 +69,20 @@ def main():
     parser.add_argument("--seq-len", type=int, default=96)
     parser.add_argument("--max-new-tokens", type=int, default=10)
     parser.add_argument("--sigma", type=float, default=0.5)
+    parser.add_argument(
+        "--sigma-grid", type=str, default=None,
+        help="comma list of sigmas; with --n-grid, a ragged per-sigma "
+        "budget sweep (images certified at EVERY sigma)",
+    )
+    parser.add_argument(
+        "--n-grid", type=str, default=None,
+        help="comma list of estimation budgets, one per --sigma-grid entry",
+    )
+    parser.add_argument("--early-abstain", action="store_true")
+    parser.add_argument(
+        "--label-split", type=int, default=None,
+        help="hash decoded answers into K classes (abstain-heavy labels)",
+    )
     parser.add_argument("--skip-serial", action="store_true")
     parser.add_argument("--skip-continuous", action="store_true")
     args = parser.parse_args()
@@ -50,7 +99,10 @@ def main():
         make_noisy_generate_fn,
         make_sample_fn,
     )
-    from certifiedgpt_tpu.smoothing.continuous import ContinuousCertifier
+    from certifiedgpt_tpu.smoothing.continuous import (
+        ContinuousCertifier,
+        make_mixed_generate_fn,
+    )
     from certifiedgpt_tpu.smoothing.smoothing import Smooth
 
     if args.small:
@@ -62,11 +114,11 @@ def main():
         from certifiedgpt_tpu.models.llama import LlamaConfig
 
         cfg = MiniGPT4Config(
-            vit=EvaViTConfig(attn_impl="flash", act_quant=True),
+            vit=EvaViTConfig(attn_impl="flash_cls", act_quant=True),
             llama=LlamaConfig(act_quant=True, kv_quant=True),
         )
         params = build_full_int8_params(cfg)
-        mc = args.mc_batch or 50
+        mc = args.mc_batch or 96
 
     model = MiniGPT4Model(cfg, params, ByteTokenizer())
     vocab_answers = ["cat", "dog", "bird", "2", "yes", "no"]
@@ -84,76 +136,124 @@ def main():
         for i in range(args.images)
     ]
 
-    waste = ((-args.n0) % mc + (-args.n) % mc) / (args.n0 + args.n)
-    print(f"mc={mc} serial partial-chunk waste = {waste:.1%}", flush=True)
+    if args.label_split:
+        build_vocab = lambda item: _SplitVocab(args.label_split)  # noqa: E731
+    else:
+        build_vocab = lambda item: AnswerVocabulary(item["gt_answers"])  # noqa: E731
 
-    report = {}
+    if args.sigma_grid:
+        sigmas = [float(s) for s in args.sigma_grid.split(",")]
+        ns = (
+            [int(v) for v in args.n_grid.split(",")]
+            if args.n_grid else [args.n] * len(sigmas)
+        )
+        assert len(ns) == len(sigmas), "--n-grid must match --sigma-grid"
+    else:
+        sigmas, ns = [args.sigma], [args.n]
+    cells = len(sigmas) * args.images  # one certificate per (sigma, image)
+
+    for sig, n_est in zip(sigmas, ns):
+        waste = ((-args.n0) % mc + (-n_est) % mc) / (args.n0 + n_est)
+        print(
+            f"mc={mc} sigma={sig} n={n_est}: serial partial-chunk waste = "
+            f"{waste:.1%}", flush=True,
+        )
+
+    report = {
+        "cells": cells,
+        "early_abstain": args.early_abstain,
+        "label_split": args.label_split,
+        "sigma_grid": sigmas,
+        "n_grid": ns,
+    }
 
     if not args.skip_serial:
+        # ONE compiled pipeline across the whole grid: sigma is a runtime
+        # scalar of the noise graph, the budget only changes chunk counts
         gen = make_noisy_generate_fn(
-            model, args.sigma, mc, args.max_new_tokens, seq_len=args.seq_len
+            model, sigmas[0], mc, args.max_new_tokens, seq_len=args.seq_len
         )
-        # warm the compile outside the timed region (both modes pay it once)
         warm = make_sample_fn(
-            model, items[0]["instruction_input"],
-            AnswerVocabulary(vocab_answers), args.sigma, mc_batch=mc,
-            max_new_tokens=args.max_new_tokens, seq_len=args.seq_len, gen=gen,
+            model, items[0]["instruction_input"], build_vocab(items[0]),
+            sigmas[0], mc_batch=mc, max_new_tokens=args.max_new_tokens,
+            seq_len=args.seq_len, gen=gen,
         )
         warm(items[0]["image"], mc, seed=999)
+        draws_used = 0
         t0 = time.time()
-        for idx, item in enumerate(items):
-            vocab = AnswerVocabulary(item["gt_answers"])
-            sample_fn = make_sample_fn(
-                model, item["instruction_input"], vocab, args.sigma,
-                mc_batch=mc, max_new_tokens=args.max_new_tokens,
-                seq_len=args.seq_len, gen=gen,
-            )
-            smooth = Smooth(sample_fn, vocab.num_classes, args.sigma)
-            smooth.certify(item["image"], args.n0, args.n, 0.001, seed=idx)
+        for si, (sig, n_est) in enumerate(zip(sigmas, ns)):
+            for idx, item in enumerate(items):
+                vocab = build_vocab(item)
+                sample_fn = make_sample_fn(
+                    model, item["instruction_input"], vocab, sig,
+                    mc_batch=mc, max_new_tokens=args.max_new_tokens,
+                    seq_len=args.seq_len, gen=gen,
+                )
+                smooth = Smooth(sample_fn, vocab.num_classes, sig)
+                smooth.certify(
+                    item["image"], args.n0, n_est, 0.001,
+                    seed=1000 * si + idx,
+                    early_abstain=args.early_abstain,
+                )
+                draws_used += smooth.last_draws
         dt = time.time() - t0
-        report["serial_s_per_image"] = dt / args.images
-        report["serial_images_per_hour"] = 3600 * args.images / dt
+        report["serial_s_per_cell"] = dt / cells
+        report["serial_cells_per_hour"] = 3600 * cells / dt
+        report["serial_draws"] = draws_used
         print(
-            f"serial     {dt:.1f}s = {dt/args.images:.2f} s/img = "
-            f"{3600*args.images/dt:.1f} img/h", flush=True,
+            f"serial     {dt:.1f}s = {dt/cells:.2f} s/cell = "
+            f"{3600*cells/dt:.1f} cells/h (draws labeled: {draws_used})",
+            flush=True,
         )
 
     if not args.skip_continuous:
-        certifier = ContinuousCertifier(
-            model, sigma=args.sigma, n0=args.n0, n=args.n, alpha=0.001,
-            mc_batch=mc, max_new_tokens=args.max_new_tokens,
-            seq_len=args.seq_len, num_slots=8,
+        mixed_gen = make_mixed_generate_fn(
+            model, mc, args.max_new_tokens, num_slots=8,
+            seq_len=args.seq_len,
         )
-        # warm the mixed-gen compile with one dummy chunk, using the
-        # certifier's OWN host banks converted exactly as run() converts
-        # them — hand-built arrays with different dtypes (e.g. int32 vs
-        # the banks' int64) would silently compile a SECOND full-scale
-        # pipeline and corrupt the timing
-        certifier.gen(
-            model.params, certifier._image_bank,
-            jnp.asarray(certifier._ids_bank),
-            jnp.asarray(certifier._am_bank),
-            jnp.asarray(certifier._pos_bank),
+        # warm with one dummy chunk using bank-exact dtypes (a dtype
+        # mismatch would silently compile a SECOND full-scale pipeline)
+        img = cfg.vit.img_size
+        mixed_gen(
+            model.params,
+            jnp.zeros((8, img, img, 3), jnp.float32),
+            jnp.asarray(np.zeros((8, args.seq_len), np.int64)),
+            jnp.asarray(np.zeros((8, args.seq_len), np.int64)),
+            jnp.asarray(np.zeros((8,), np.int64)),
             jnp.asarray(np.zeros((mc,), np.int32)),
-            jax.random.PRNGKey(0), args.sigma,
+            jax.random.PRNGKey(0), sigmas[0],
         )
+        draws_used = 0
         t0 = time.time()
-        certifier.run(
-            items, lambda s: s,
-            lambda it: AnswerVocabulary(it["gt_answers"]), seed=7,
-        )
+        for si, (sig, n_est) in enumerate(zip(sigmas, ns)):
+            certifier = ContinuousCertifier(
+                model, sigma=sig, n0=args.n0, n=n_est, alpha=0.001,
+                mc_batch=mc, max_new_tokens=args.max_new_tokens,
+                seq_len=args.seq_len, num_slots=8, gen=mixed_gen,
+                early_abstain=args.early_abstain,
+            )
+            decided = []
+            certifier.run(
+                items, lambda s: s, build_vocab, seed=7 + si,
+                on_result=lambda res, job: decided.append(job.decoded),
+            )
+            draws_used += sum(decided)
         dt = time.time() - t0
-        report["continuous_s_per_image"] = dt / args.images
-        report["continuous_images_per_hour"] = 3600 * args.images / dt
+        report["continuous_s_per_cell"] = dt / cells
+        report["continuous_cells_per_hour"] = 3600 * cells / dt
+        report["continuous_draws"] = draws_used
         print(
-            f"continuous {dt:.1f}s = {dt/args.images:.2f} s/img = "
-            f"{3600*args.images/dt:.1f} img/h", flush=True,
+            f"continuous {dt:.1f}s = {dt/cells:.2f} s/cell = "
+            f"{3600*cells/dt:.1f} cells/h (draws labeled: {draws_used})",
+            flush=True,
         )
 
-    if len(report) == 4:
+    if "serial_cells_per_hour" in report and (
+        "continuous_cells_per_hour" in report
+    ):
         report["speedup"] = (
-            report["continuous_images_per_hour"]
-            / report["serial_images_per_hour"]
+            report["continuous_cells_per_hour"]
+            / report["serial_cells_per_hour"]
         )
         print(f"speedup x{report['speedup']:.3f}", flush=True)
     print(json.dumps(report), flush=True)

@@ -62,11 +62,12 @@ BASELINE_CERTIFIED = {
 
 
 def _load_sd(path: str):
-    import torch
+    # tensor-safe load first, trusted-local full-pickle fallback for
+    # stage-2/LAVIS checkpoints that pickle config objects next to the
+    # tensors (shared helper; trust assumption in docs/DESIGN.md §4)
+    from certifiedgpt_tpu.models.model_zoo import _torch_load
 
-    # weights_only=False: stage-2/LAVIS checkpoints pickle config
-    # objects next to the tensors; trusted local files
-    sd = torch.load(str(path), map_location="cpu", weights_only=False)
+    sd = _torch_load(str(path))
     for key in ("model_state_dict", "model", "module", "state_dict"):
         if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
             sd = sd[key]
@@ -339,7 +340,9 @@ def _load_hf_llama_sd(path: str, num_layers: int):
                         sd[key] = handle.get_tensor(key).float()
         return sd
     for file in sorted(glob.glob(os.path.join(path, "pytorch_model*.bin"))):
-        shard = torch.load(file, map_location="cpu", weights_only=False)
+        from certifiedgpt_tpu.models.model_zoo import _torch_load
+
+        shard = _torch_load(file)
         sd.update(
             {k: v.float() for k, v in shard.items()
              if k.startswith(wanted_prefixes)}

@@ -337,9 +337,9 @@ def test_sigma_sweep_rows_use_distinct_seeds(eval_setup, monkeypatch):
     seeds = []
     orig = certify_mod.Smooth.certify
 
-    def spy(self, x, n0, n, alpha, seed=None):
+    def spy(self, x, n0, n, alpha, seed=None, **kwargs):
         seeds.append(seed)
-        return orig(self, x, n0, n, alpha, seed=seed)
+        return orig(self, x, n0, n, alpha, seed=seed, **kwargs)
 
     monkeypatch.setattr(certify_mod.Smooth, "certify", spy)
     make_cfg, _ = eval_setup
@@ -733,3 +733,119 @@ def test_continuous_certify_with_global_vocab(eval_setup):
     assert len(rows) == 4
     for row in rows:
         assert -1 <= row["label"] < vocab.num_classes
+
+
+def test_continuous_early_abstain_matches_full_budget(eval_setup, monkeypatch):
+    """run.early_abstain in the continuous scheduler: with prefix-stable
+    per-image label streams (patched in at the record level — the real
+    scheduler packs draws into mixed chunks, so per-image streams are the
+    invariant to hold fixed), the early-stopped run must emit EXACTLY the
+    full-budget run's (label, radius) per image while consuming fewer
+    draws on the abstaining images — the freed budget is what converts to
+    images/hour at scale (VERDICT r3 item 1)."""
+    from certifiedgpt_tpu.smoothing import continuous as cont_mod
+
+    make_cfg, tmp_path = eval_setup
+    rng = np.random.default_rng(0)
+    streams = {}
+    for idx in range(6):
+        if idx < 2:
+            streams[idx] = np.zeros(64, np.int64)  # certifies: never fires
+        else:
+            streams[idx] = rng.integers(0, 2, size=64)  # ~uniform: abstains
+
+    orig_record = cont_mod._ImageJob.record
+
+    def fake_record(self, label):
+        orig_record(self, int(streams[self.index][self.decoded]))
+
+    monkeypatch.setattr(cont_mod._ImageJob, "record", fake_record)
+
+    common = dict(
+        continuous=True,
+        active_images=2,
+        certify_n0=8,
+        certify_n=32,
+        certify_alpha=0.05,
+        mc_batch=8,
+        max_images=6,
+        noise_level=0.25,
+    )
+    full = setup_agent(
+        make_cfg("image_text_certify", output_dir=str(tmp_path / "fb"), **common)
+    )
+    full.run()
+    early = setup_agent(
+        make_cfg(
+            "image_text_certify", output_dir=str(tmp_path / "ea"),
+            early_abstain=True, **common,
+        )
+    )
+    e_sum = early.run()
+
+    f_rows = [
+        json.loads(line) for line in
+        (tmp_path / "fb" / "certify_results.jsonl").read_text().splitlines()
+    ]
+    e_rows = [
+        json.loads(line) for line in
+        (tmp_path / "ea" / "certify_results.jsonl").read_text().splitlines()
+    ]
+    f_rows.sort(key=lambda r: r["index"])
+    e_rows.sort(key=lambda r: r["index"])
+    assert [r["label"] for r in e_rows] == [r["label"] for r in f_rows]
+    assert [r["radius"] for r in e_rows] == [r["radius"] for r in f_rows]
+    assert all(r["draws"] == 8 + 32 for r in f_rows)
+    assert all(r["draws"] <= 8 + 32 for r in e_rows)
+    # the abstaining images must actually stop early
+    saved = sum(40 - r["draws"] for r in e_rows if r["abstain"])
+    assert saved > 0, "early_abstain never fired on the uniform streams"
+    assert e_sum["mean_draws_per_image"] < 40.0
+
+
+def test_serial_certify_early_abstain_plumbing(eval_setup):
+    """run.early_abstain through the SERIAL agent path: rows carry the
+    consumed-draws count and the summary reports mean_draws_per_image."""
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_certify",
+            certify_n0=4,
+            certify_n=16,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=2,
+            early_abstain=True,
+            early_stop_radius=3.0,
+        )
+    )
+    summary = agent.run()
+    rows = [
+        json.loads(line) for line in
+        (tmp_path / "out_image_text_certify" / "certify_results.jsonl")
+        .read_text().splitlines()
+    ]
+    assert all(0 < r["draws"] <= 20 for r in rows)
+    assert 0 < summary["mean_draws_per_image"] <= 20.0
+
+
+def test_continuous_early_flags_rejected_in_predict_mode():
+    """predict's two-sided binomial test is not a monotone one-count
+    threshold — a sequential stopping rule there would spend alpha it
+    never accounted for. Reject at construction."""
+    import pytest
+
+    from certifiedgpt_tpu.smoothing.continuous import ContinuousCertifier
+
+    with pytest.raises(ValueError, match="certify only"):
+        ContinuousCertifier(
+            None, sigma=0.5, n0=0, n=8, alpha=0.05, mc_batch=4,
+            max_new_tokens=2, seq_len=16, gen=lambda *a: None,
+            mode="predict", early_abstain=True,
+        )
+    with pytest.raises(ValueError, match="certify only"):
+        ContinuousCertifier(
+            None, sigma=0.5, n0=0, n=8, alpha=0.05, mc_batch=4,
+            max_new_tokens=2, seq_len=16, gen=lambda *a: None,
+            mode="predict", early_stop_radius=0.5,
+        )

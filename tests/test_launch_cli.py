@@ -350,6 +350,15 @@ def test_shipped_configs_parse_and_exist():
     ]:
         assert key in mod.CERTIFY_CONFIGS
     assert "vqav2_attack" in mod.ATTACK_CONFIGS
+    # dedicated smoothing_predict example (not a reused certify YAML):
+    # predict has no certificate, so it carries predict_n and no
+    # certify_n0/certify_n/radius_grid
+    predict = yaml.safe_load(
+        open(mod.PREDICT_CONFIGS["vqav2_predict_noise_0.5"])
+    )
+    assert predict["run"]["agent"] == "image_text_predict"
+    assert predict["run"]["predict_n"] > 0
+    assert "certify_n" not in predict["run"]
     sweep = yaml.safe_load(open(mod.CERTIFY_CONFIGS["vqav2_certify_sweep"]))
     assert sweep["run"]["sigma_grid"] == [0.25, 0.5, 1.0]
     attack = yaml.safe_load(open(mod.ATTACK_CONFIGS["vqav2_attack"]))

@@ -270,3 +270,25 @@ def test_tensor_parallel_llama_quantized_leaves():
     with mesh:
         out = f(sharded, jax.device_put(x, replicated(mesh)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_lm_head_optional_bias(tiny):
+    """lm_head_logits adds the optional bias leaf when present (the
+    bench's EOS-biased early-exit measurement hook; HF LLaMA ships a
+    bias-free head, so conversion never sets one)."""
+    import jax.numpy as jnp
+
+    from certifiedgpt_tpu.models.llama import lm_head_logits
+
+    cfg, params = tiny
+    hidden = jax.random.normal(
+        jax.random.PRNGKey(3), (2, 4, cfg.hidden_size), jnp.float32
+    )
+    base = lm_head_logits(params, hidden)
+    bias = jnp.zeros((cfg.vocab_size,), jnp.float32).at[2].set(7.5)
+    biased_params = dict(params, lm_head=dict(params["lm_head"], bias=bias))
+    biased = lm_head_logits(biased_params, hidden)
+    np.testing.assert_allclose(np.asarray(biased - base)[..., 2], 7.5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(biased)[..., :2], np.asarray(base)[..., :2], atol=1e-6
+    )

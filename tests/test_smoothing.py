@@ -10,6 +10,7 @@ from certifiedgpt_tpu.smoothing.smoothing import (
     certified_radius_two_class,
     clopper_pearson_lower,
     clopper_pearson_upper,
+    min_count_for_lower_bound,
 )
 from certifiedgpt_tpu.smoothing.classifier import AnswerVocabulary
 
@@ -276,3 +277,199 @@ def test_sharded_certify_matches_single_device_labels():
     labels_one = single(image, 208, seed=11)
     assert labels_mesh.shape == (208,)
     np.testing.assert_array_equal(labels_mesh, labels_one)
+
+
+# ---------------------------------------------------------------------------
+# exact early stopping (early_abstain / early_stop_radius)
+
+
+def test_min_count_for_lower_bound_boundary():
+    """m = min_count(p, n, alpha) must be the exact threshold: the CP
+    lower bound reaches p at m and falls short at m - 1 (monotonicity of
+    the bound in the count is what makes the early-stopping rules exact)."""
+    for p, n, a in [
+        (0.5, 1000, 0.001),
+        (0.5, 200, 0.01),
+        (0.9, 1000, 0.001),
+        (0.75, 64, 0.05),
+    ]:
+        m = min_count_for_lower_bound(p, n, a)
+        assert 0 < m <= n
+        assert clopper_pearson_lower(m, n, a) >= p
+        assert clopper_pearson_lower(m - 1, n, a) < p
+    # unreachable target: even m = n falls short -> n + 1 (rule never fires)
+    assert min_count_for_lower_bound(0.999999, 4, 0.001) == 5
+    # trivially reachable at m = 0 (CP_lower(0) = 0.0 >= 0.0)
+    assert min_count_for_lower_bound(0.0, 100, 0.05) == 0
+
+
+class _PrefixChunkSampler:
+    """Prefix-stable chunked sampler: the label stream depends only on
+    the seed (np's PCG64 draws sequentially, so the first k labels are
+    identical whatever the requested total) and ``should_stop`` is polled
+    between chunks — the same contract ``classifier.make_sample_fn``
+    provides via fold_in(chunk) keys."""
+
+    def __init__(self, probs, chunk=25):
+        self.probs = np.asarray(probs, np.float64)
+        self.chunk = int(chunk)
+
+    def __call__(self, x, num, seed, should_stop=None):
+        rng = np.random.default_rng(seed)
+        out = np.empty((num,), np.int64)
+        done = 0
+        while done < num:
+            take = min(self.chunk, num - done)
+            out[done:done + take] = rng.choice(
+                len(self.probs), size=take, p=self.probs
+            )
+            done += take
+            if done >= num:
+                break
+            if should_stop is not None and should_stop(out[:done]):
+                return out[:done]
+        return out
+
+
+@pytest.mark.parametrize(
+    "probs",
+    [
+        [0.95, 0.05],          # certifies: early_abstain never fires
+        [0.5, 0.5],            # borderline abstain
+        [0.34, 0.33, 0.33],    # strong abstain: fires well before n
+        [0.05, 0.95],
+    ],
+)
+def test_certify_early_abstain_bit_identical_to_full_budget(probs):
+    """early_abstain=True must return the SAME (label, radius) as the
+    full-budget run for every seed — the stopping rule only fires when
+    the final abstention is already implied, so it is statistically free
+    (VERDICT r3 item 1's proof-of-equivalence)."""
+    sampler = _PrefixChunkSampler(probs)
+    k = len(probs)
+    n0, n, alpha = 20, 200, 0.01
+    saved = 0
+    for seed in range(6):
+        full = Smooth(sampler, k, 0.5)
+        label_f, radius_f = full.certify(None, n0, n, alpha, seed=seed)
+        assert full.last_draws == n0 + n
+        early = Smooth(sampler, k, 0.5)
+        label_e, radius_e = early.certify(
+            None, n0, n, alpha, seed=seed, early_abstain=True
+        )
+        assert (label_e, radius_e) == (label_f, radius_f)
+        assert early.last_draws <= n0 + n
+        if label_f == ABSTAIN:
+            saved += (n0 + n) - early.last_draws
+    if probs == [0.34, 0.33, 0.33]:
+        # the uniform-3 case abstains with a top-class rate ~1/3, so the
+        # certainty threshold is crossed long before the budget runs out
+        assert saved > 0
+
+
+def test_certify_early_stop_radius_reports_conservative_floor():
+    """early_stop_radius=R: same label as the full run; when the rule
+    fires the reported radius is a floor in [R, full radius]; every
+    radius-grid decision at thresholds r <= R is identical."""
+    sampler = _PrefixChunkSampler([0.97, 0.03])
+    n0, n, alpha, sigma, R = 20, 400, 0.01, 0.5, 0.25
+    for seed in range(4):
+        full = Smooth(sampler, 2, sigma)
+        label_f, radius_f = full.certify(None, n0, n, alpha, seed=seed)
+        early = Smooth(sampler, 2, sigma)
+        label_e, radius_e = early.certify(
+            None, n0, n, alpha, seed=seed, early_stop_radius=R
+        )
+        assert label_e == label_f
+        assert radius_e <= radius_f + 1e-12
+        if early.last_draws < n0 + n:  # the rule fired
+            assert radius_e >= R - 1e-12
+        for r in (0.1, 0.2, R):
+            assert (radius_e >= r) == (radius_f >= r)
+
+
+def test_certify_early_stop_radius_unreachable_never_fires():
+    """R so large that even c = n cannot certify it: the rule must be
+    disabled (min_count > n), giving the plain full-budget run."""
+    sampler = _PrefixChunkSampler([0.97, 0.03])
+    smooth = Smooth(sampler, 2, 0.5)
+    label, radius = smooth.certify(
+        None, 20, 100, 0.01, seed=0, early_stop_radius=50.0
+    )
+    assert smooth.last_draws == 120
+    full = Smooth(sampler, 2, 0.5)
+    assert (label, radius) == full.certify(None, 20, 100, 0.01, seed=0)
+
+
+def test_certify_early_needs_should_stop_sample_fn():
+    """A sample_fn without the should_stop kwarg must fail LOUDLY with a
+    pointer to make_sample_fn, not silently run the full budget."""
+    legacy = lambda x, num, seed: np.zeros((num,), np.int64)  # noqa: E731
+    smooth = Smooth(legacy, 2, 0.5)
+    with pytest.raises(TypeError, match="should_stop"):
+        smooth.certify(None, 4, 8, 0.05, early_abstain=True)
+    # and the plain path still works for legacy samplers
+    label, _ = smooth.certify(None, 4, 8, 0.05)
+    assert label == 0
+
+
+def test_make_sample_fn_should_stop_returns_prefix():
+    """The real pipeline's sample_fn must honor should_stop and return a
+    bit-identical PREFIX of the full-budget label stream (chunk keys fold
+    in the chunk index, independent of the requested total)."""
+    import jax
+
+    from certifiedgpt_tpu.data.text import ByteTokenizer
+    from certifiedgpt_tpu.models.minigpt4 import MiniGPT4Config, init_minigpt4
+    from certifiedgpt_tpu.models.model_zoo import MiniGPT4Model
+    from certifiedgpt_tpu.smoothing.classifier import make_sample_fn
+
+    cfg = MiniGPT4Config.tiny()
+    params = init_minigpt4(jax.random.PRNGKey(0), cfg)
+    model = MiniGPT4Model(cfg, params, ByteTokenizer())
+    vocab = AnswerVocabulary(["cat", "dog"])
+    sample_fn = make_sample_fn(
+        model, "<Img><ImageHere></Img> q?", vocab, sigma=0.5,
+        mc_batch=8, max_new_tokens=2, seq_len=32, window=2,
+    )
+    img = np.random.RandomState(3).randn(
+        cfg.vit.img_size, cfg.vit.img_size, 3
+    ).astype(np.float32)
+    full = sample_fn(img, 40, seed=7)
+    calls = []
+    stopped = sample_fn(
+        img, 40, seed=7,
+        should_stop=lambda labels: (calls.append(labels.size), len(calls) >= 2)[1],
+    )
+    assert stopped.size == 16  # stopped after the 2nd of 5 chunks
+    np.testing.assert_array_equal(stopped, full[:16])
+
+
+def test_check_dispatch_window_hbm_guard():
+    """window x mc_batch noisy-image buffers beyond free HBM must be a
+    construction-time config error; past half of it, a warning."""
+    import logging
+
+    from certifiedgpt_tpu.smoothing.classifier import check_dispatch_window_hbm
+
+    gb = 1024 ** 3
+    stats = {"bytes_limit": 16 * gb, "bytes_in_use": 8 * gb}
+    # 4 x 100 x 448^2 x 3 x 4 B ~ 0.96 GB: fine on 8 GB free
+    est = check_dispatch_window_hbm(4, 100, 448, stats=stats)
+    assert est == 4 * 100 * 448 * 448 * 3 * 4
+    # 64 x 400 x 448^2 x 3 x 4 B ~ 61 GB: config error, not a mid-run OOM
+    with pytest.raises(ValueError, match="dispatch window"):
+        check_dispatch_window_hbm(64, 400, 448, stats=stats)
+    # between free/2 and free: warn (the running chunk needs the rest)
+    logger = logging.getLogger("test_hbm_guard")
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda record: records.append(record)
+    logger.addHandler(handler)
+    try:
+        check_dispatch_window_hbm(6, 400, 448, stats=stats, logger=logger)
+    finally:
+        logger.removeHandler(handler)
+    assert any("dispatch window" in r.getMessage() for r in records)
+    # no stats (CPU tests): silent pass-through
+    assert check_dispatch_window_hbm(4, 100, 448, stats={}) > 0
