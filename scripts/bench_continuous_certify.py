@@ -80,6 +80,11 @@ def main():
     )
     parser.add_argument("--early-abstain", action="store_true")
     parser.add_argument(
+        "--ab-early-abstain", action="store_true",
+        help="measure early-abstain OFF then ON for each mode in one "
+        "process (same compiled pipelines; interleaved A/B)",
+    )
+    parser.add_argument(
         "--label-split", type=int, default=None,
         help="hash decoded answers into K classes (abstain-heavy labels)",
     )
@@ -167,18 +172,24 @@ def main():
         "n_grid": ns,
     }
 
-    if not args.skip_serial:
+    gen = None
+    mixed_gen = None
+
+    def measure_serial(early_abstain, tag):
         # ONE compiled pipeline across the whole grid: sigma is a runtime
         # scalar of the noise graph, the budget only changes chunk counts
-        gen = make_noisy_generate_fn(
-            model, sigmas[0], mc, args.max_new_tokens, seq_len=args.seq_len
-        )
-        warm = make_sample_fn(
-            model, items[0]["instruction_input"], build_vocab(items[0]),
-            sigmas[0], mc_batch=mc, max_new_tokens=args.max_new_tokens,
-            seq_len=args.seq_len, gen=gen,
-        )
-        warm(items[0]["image"], mc, seed=999)
+        nonlocal gen
+        if gen is None:
+            gen = make_noisy_generate_fn(
+                model, sigmas[0], mc, args.max_new_tokens,
+                seq_len=args.seq_len,
+            )
+            warm = make_sample_fn(
+                model, items[0]["instruction_input"], build_vocab(items[0]),
+                sigmas[0], mc_batch=mc, max_new_tokens=args.max_new_tokens,
+                seq_len=args.seq_len, gen=gen,
+            )
+            warm(items[0]["image"], mc, seed=999)
         draws_used = 0
         t0 = time.time()
         for si, (sig, n_est) in enumerate(zip(sigmas, ns)):
@@ -193,36 +204,38 @@ def main():
                 smooth.certify(
                     item["image"], args.n0, n_est, 0.001,
                     seed=1000 * si + idx,
-                    early_abstain=args.early_abstain,
+                    early_abstain=early_abstain,
                 )
                 draws_used += smooth.last_draws
         dt = time.time() - t0
-        report["serial_s_per_cell"] = dt / cells
-        report["serial_cells_per_hour"] = 3600 * cells / dt
-        report["serial_draws"] = draws_used
+        report[f"serial{tag}_s_per_cell"] = dt / cells
+        report[f"serial{tag}_cells_per_hour"] = 3600 * cells / dt
+        report[f"serial{tag}_draws"] = draws_used
         print(
-            f"serial     {dt:.1f}s = {dt/cells:.2f} s/cell = "
+            f"serial{tag}     {dt:.1f}s = {dt/cells:.2f} s/cell = "
             f"{3600*cells/dt:.1f} cells/h (draws labeled: {draws_used})",
             flush=True,
         )
 
-    if not args.skip_continuous:
-        mixed_gen = make_mixed_generate_fn(
-            model, mc, args.max_new_tokens, num_slots=8,
-            seq_len=args.seq_len,
-        )
-        # warm with one dummy chunk using bank-exact dtypes (a dtype
-        # mismatch would silently compile a SECOND full-scale pipeline)
-        img = cfg.vit.img_size
-        mixed_gen(
-            model.params,
-            jnp.zeros((8, img, img, 3), jnp.float32),
-            jnp.asarray(np.zeros((8, args.seq_len), np.int64)),
-            jnp.asarray(np.zeros((8, args.seq_len), np.int64)),
-            jnp.asarray(np.zeros((8,), np.int64)),
-            jnp.asarray(np.zeros((mc,), np.int32)),
-            jax.random.PRNGKey(0), sigmas[0],
-        )
+    def measure_continuous(early_abstain, tag):
+        nonlocal mixed_gen
+        if mixed_gen is None:
+            mixed_gen = make_mixed_generate_fn(
+                model, mc, args.max_new_tokens, num_slots=8,
+                seq_len=args.seq_len,
+            )
+            # warm with one dummy chunk using bank-exact dtypes (a dtype
+            # mismatch would silently compile a SECOND full-scale pipeline)
+            img = cfg.vit.img_size
+            mixed_gen(
+                model.params,
+                jnp.zeros((8, img, img, 3), jnp.float32),
+                jnp.asarray(np.zeros((8, args.seq_len), np.int64)),
+                jnp.asarray(np.zeros((8, args.seq_len), np.int64)),
+                jnp.asarray(np.zeros((8,), np.int64)),
+                jnp.asarray(np.zeros((mc,), np.int32)),
+                jax.random.PRNGKey(0), sigmas[0],
+            )
         draws_used = 0
         t0 = time.time()
         for si, (sig, n_est) in enumerate(zip(sigmas, ns)):
@@ -230,7 +243,7 @@ def main():
                 model, sigma=sig, n0=args.n0, n=n_est, alpha=0.001,
                 mc_batch=mc, max_new_tokens=args.max_new_tokens,
                 seq_len=args.seq_len, num_slots=8, gen=mixed_gen,
-                early_abstain=args.early_abstain,
+                early_abstain=early_abstain,
             )
             decided = []
             certifier.run(
@@ -239,23 +252,37 @@ def main():
             )
             draws_used += sum(decided)
         dt = time.time() - t0
-        report["continuous_s_per_cell"] = dt / cells
-        report["continuous_cells_per_hour"] = 3600 * cells / dt
-        report["continuous_draws"] = draws_used
+        report[f"continuous{tag}_s_per_cell"] = dt / cells
+        report[f"continuous{tag}_cells_per_hour"] = 3600 * cells / dt
+        report[f"continuous{tag}_draws"] = draws_used
         print(
-            f"continuous {dt:.1f}s = {dt/cells:.2f} s/cell = "
+            f"continuous{tag} {dt:.1f}s = {dt/cells:.2f} s/cell = "
             f"{3600*cells/dt:.1f} cells/h (draws labeled: {draws_used})",
             flush=True,
         )
 
-    if "serial_cells_per_hour" in report and (
-        "continuous_cells_per_hour" in report
-    ):
-        report["speedup"] = (
-            report["continuous_cells_per_hour"]
-            / report["serial_cells_per_hour"]
-        )
-        print(f"speedup x{report['speedup']:.3f}", flush=True)
+    if args.ab_early_abstain:
+        # interleaved on/off A/B in ONE process (cross-process TPU
+        # timings drift — CLAUDE.md): the early-abstain throughput claim
+        if not args.skip_serial:
+            measure_serial(False, "_off")
+            measure_serial(True, "_on")
+        if not args.skip_continuous:
+            measure_continuous(False, "_off")
+            measure_continuous(True, "_on")
+    else:
+        if not args.skip_serial:
+            measure_serial(args.early_abstain, "")
+        if not args.skip_continuous:
+            measure_continuous(args.early_abstain, "")
+        if "serial_cells_per_hour" in report and (
+            "continuous_cells_per_hour" in report
+        ):
+            report["speedup"] = (
+                report["continuous_cells_per_hour"]
+                / report["serial_cells_per_hour"]
+            )
+            print(f"speedup x{report['speedup']:.3f}", flush=True)
     print(json.dumps(report), flush=True)
 
 

@@ -104,6 +104,74 @@ def main():
         f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.3f}",
         file=sys.stderr, flush=True,
     )
+
+    if "stages" in sys.argv[2:]:
+        # per-stage decomposition (VERDICT r3 item 6): time nested
+        # prefixes of the step as separate compiled programs — each
+        # returns a full-tensor reduction so XLA cannot prune work —
+        # and report the deltas. The separately-compiled prefixes lose
+        # cross-stage fusion/overlap, so their sum can exceed the fused
+        # whole step; the gap is reported as fusion_overlap_ms.
+        from certifiedgpt_tpu.models.eva_vit import eva_vit_apply
+        from certifiedgpt_tpu.models.minigpt4 import encode_img
+
+        @jax.jit
+        def probe_vit(frozen, images):
+            return jnp.sum(
+                eva_vit_apply(frozen["vit"], cfg.vit, images).astype(jnp.float32)
+            )
+
+        @jax.jit
+        def probe_encode(trainable, frozen, images):
+            merged = merge_params(trainable, frozen)
+            return jnp.sum(
+                encode_img(merged, cfg, images).astype(jnp.float32)
+            )
+
+        @jax.jit
+        def probe_loss(trainable, frozen, batch_dev):
+            return minigpt4_loss(merge_params(trainable, frozen), cfg, batch_dev)
+
+        @jax.jit
+        def probe_grads(trainable, frozen, batch_dev):
+            def loss_fn(tr):
+                return minigpt4_loss(merge_params(tr, frozen), cfg, batch_dev)
+
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            return loss + jax.tree_util.tree_reduce(
+                lambda a, g: a + jnp.sum(g.astype(jnp.float32)), grads, 0.0
+            )
+
+        b0 = dict(dev)
+        b0["image"] = noise_fn(image_dev, jax.random.fold_in(key, 999))
+        probes = {
+            "vit_fwd": lambda: float(probe_vit(frozen, b0["image"])),
+            "encode_fwd": lambda: float(probe_encode(trainable, frozen, b0["image"])),
+            "loss_fwd": lambda: float(probe_loss(trainable, frozen, b0)),
+            "grads": lambda: float(probe_grads(trainable, frozen, b0)),
+            "full_step": lambda: float(step(999)[2]),
+        }
+        for fn in probes.values():
+            fn()  # compile, untimed
+        times = {name: [] for name in probes}
+        for _ in range(4):  # interleaved trials (timings drift)
+            for name, fn in probes.items():
+                t0 = time.time()
+                fn()
+                times[name].append(time.time() - t0)
+        ms = {name: 1000 * min(ts) for name, ts in times.items()}
+        stages = {
+            "vit_fwd_ms": ms["vit_fwd"],
+            "qformer_proj_fwd_ms": ms["encode_fwd"] - ms["vit_fwd"],
+            "decoder_fwd_ce_ms": ms["loss_fwd"] - ms["encode_fwd"],
+            "backward_ms": ms["grads"] - ms["loss_fwd"],
+            "optimizer_ms": ms["full_step"] - ms["grads"],
+            "full_step_ms": ms["full_step"],
+        }
+        print(json.dumps({k: round(v, 1) for k, v in ms.items()}),
+              file=sys.stderr, flush=True)
+        print(json.dumps({k: round(v, 1) for k, v in stages.items()}),
+              flush=True)
     reps = 5
     t0 = time.time()
     # reps re-run the SAME fixed-shape step from the initial state —
