@@ -63,7 +63,7 @@ def main():
         init_minigpt4,
     )
     from certifiedgpt_tpu.models.model_zoo import MiniGPT4Model
-    from certifiedgpt_tpu.ops.noise import add_input_noise
+    from certifiedgpt_tpu.agents.finetune import add_input_noise
 
     if args.small:
         cfg = MiniGPT4Config.small()
