@@ -19,7 +19,7 @@ from __future__ import annotations
 import functools
 import json
 import os
-from collections import Counter
+from collections import Counter, deque
 from typing import Any, Dict, List
 
 import jax
@@ -236,6 +236,51 @@ class EvalAgent(BaseAgent):
         gt_annotations: List[dict] = []
         gt_questions: List[dict] = []
 
+        # Output-side pipelining: keep up to run.dispatch_window batches'
+        # generate calls in flight (JAX dispatch is async) and only force
+        # the device->host token transfer once the window fills, so the
+        # host-side token decode + next batch's prep overlap device
+        # compute instead of serializing behind it. Same knob as the
+        # certify schedulers. Measured at full scale
+        # (scripts/bench_eval_full.py, BENCH.md): 32.5 -> 34.8 samples/s
+        # at the shipped batch sizes; ~1% once the device saturates at
+        # bs>=64. Each window slot pins one batch's device inputs
+        # (~bs * img^2 * 3 * 4 bytes), so the default stays small.
+        window = max(1, int(self.run_cfg.get("dispatch_window", 2)))
+        inflight: deque = deque()
+
+        def consume(entry) -> None:
+            tokens_dev, n, batch = entry
+            tokens = np.asarray(tokens_dev)[:n]
+            answers = self.decode_tokens(tokens)
+            gt_lists = batch.get("gt_answers", [[] for _ in range(n)])
+            for i, ans in enumerate(answers):
+                qid = int(batch["question_id"][i])
+                predictions.append({"question_id": qid, "answer": ans})
+                gt_annotations.append(
+                    {
+                        "question_id": qid,
+                        "image_id": qid,
+                        "question_type": batch.get(
+                            "question_type", ["unknown"] * n
+                        )[i],
+                        "answer_type": batch.get(
+                            "answer_type", ["unknown"] * n
+                        )[i],
+                        "answers": [
+                            {"answer": a, "answer_id": j + 1}
+                            for j, a in enumerate(gt_lists[i])
+                        ],
+                    }
+                )
+                gt_questions.append(
+                    {
+                        "question_id": qid,
+                        "image_id": qid,
+                        "question": batch.get("question", [""] * n)[i],
+                    }
+                )
+
         for step, batch in enumerate(loader):
             text = build_gen_batch(
                 self.model.tokenizer,
@@ -267,39 +312,14 @@ class EvalAgent(BaseAgent):
             dev = shard_batch(
                 {"image": images.astype(np.float32), **text}, self.mesh
             )
-            tokens = np.asarray(
-                self._generate(
-                    self.model.params, dev, jax.random.fold_in(rng, step)
-                )
-            )[:n]
-            answers = self.decode_tokens(tokens)
-            gt_lists = batch.get("gt_answers", [[] for _ in range(n)])
-            for i, ans in enumerate(answers):
-                qid = int(batch["question_id"][i])
-                predictions.append({"question_id": qid, "answer": ans})
-                gt_annotations.append(
-                    {
-                        "question_id": qid,
-                        "image_id": qid,
-                        "question_type": batch.get(
-                            "question_type", ["unknown"] * n
-                        )[i],
-                        "answer_type": batch.get(
-                            "answer_type", ["unknown"] * n
-                        )[i],
-                        "answers": [
-                            {"answer": a, "answer_id": j + 1}
-                            for j, a in enumerate(gt_lists[i])
-                        ],
-                    }
-                )
-                gt_questions.append(
-                    {
-                        "question_id": qid,
-                        "image_id": qid,
-                        "question": batch.get("question", [""] * n)[i],
-                    }
-                )
+            tokens_dev = self._generate(
+                self.model.params, dev, jax.random.fold_in(rng, step)
+            )
+            inflight.append((tokens_dev, n, batch))
+            if len(inflight) >= window:
+                consume(inflight.popleft())
+        while inflight:
+            consume(inflight.popleft())
 
         n_empty = sum(1 for a in gt_annotations if not a["answers"])
         if gt_annotations and 0 < n_empty < len(gt_annotations):

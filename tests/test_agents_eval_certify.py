@@ -849,3 +849,33 @@ def test_continuous_early_flags_rejected_in_predict_mode():
             max_new_tokens=2, seq_len=16, gen=lambda *a: None,
             mode="predict", early_stop_radius=0.5,
         )
+
+
+def test_eval_dispatch_window_matches_sync_loop(eval_setup):
+    """The eval agent's output-side pipelining (run.dispatch_window —
+    generate calls stay in flight until the window fills) must be a pure
+    scheduling change: the predictions and the official accuracy are
+    identical to the one-batch-in-flight loop."""
+    import json as _json
+
+    make_cfg, tmp_path = eval_setup
+
+    def run_with(window, tag):
+        agent = setup_agent(
+            make_cfg(
+                "image_text_eval",
+                dispatch_window=window,
+                output_dir=str(tmp_path / f"out_eval_win{tag}"),
+            )
+        )
+        results = agent.run()
+        preds = _json.loads(
+            (tmp_path / f"out_eval_win{tag}" / "eval_results.json").read_text()
+        )
+        return results, preds
+
+    res_sync, preds_sync = run_with(1, "1")
+    res_win, preds_win = run_with(3, "3")
+    assert res_sync["num_questions"] == res_win["num_questions"] == 6
+    assert res_sync["overall_accuracy"] == res_win["overall_accuracy"]
+    assert preds_sync == preds_win

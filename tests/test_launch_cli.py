@@ -188,6 +188,47 @@ def test_launch_certify_cli(cli_setup):
     assert summary["total"] == 1
 
 
+def test_launch_eval_cli(cli_setup):
+    """`launch.py eval` end-to-end through the CLI (ref launch.py maps
+    eval -> image_text_eval; the reference's main inference path,
+    ref minigpt4_eval_agent.py:86-124), with the output-side
+    dispatch_window pipelining the shipped eval configs use."""
+    tmp_path, img_dir = cli_setup
+    cfg = {
+        "model": {"arch": "minigpt4", "model_size": "tiny"},
+        "datasets": {
+            "evalvqav2": {
+                "vis_processor": {
+                    "val": {"name": "blip2_image_val", "image_size": 28}
+                },
+                "build_info": {
+                    "images": {"storage": str(img_dir)},
+                    "questions": {"val": [str(tmp_path / "q.json")]},
+                    "annotations": {"val": [str(tmp_path / "a.json")]},
+                },
+            }
+        },
+        "run": {
+            # no agent key: the CLI mode must route to image_text_eval
+            "batch_size": 4,
+            "max_new_tokens": 3,
+            "seq_len": 48,
+            "dispatch_window": 2,
+            "output_dir": str(tmp_path / "out_eval"),
+        },
+    }
+    cfg_path = tmp_path / "eval.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    result = _run_cli("eval", cfg_path)
+    assert result.returncode == 0, result.stderr[-2000:]
+    results = json.loads(
+        (tmp_path / "out_eval" / "eval_results.json").read_text()
+    )
+    preds = results["predictions"]
+    assert len(preds) == 8
+    assert {p["question_id"] for p in preds} == set(range(1, 9))
+
+
 def test_launch_predict_cli(cli_setup):
     tmp_path, img_dir = cli_setup
     cfg = {
