@@ -85,6 +85,14 @@ def main():
         "process (same compiled pipelines; interleaved A/B)",
     )
     parser.add_argument(
+        "--early-stop-radius", type=float, default=None,
+        help="success-certain stopping target R (smoothing.py): active in "
+        "the ON arm of --ab-early-abstain (or with --early-abstain). Set "
+        "R >= the largest ACHIEVABLE radius_grid point — at n=1000, "
+        "alpha=0.001 the max pA_bar is 0.9931 so radius caps at 2.46*sigma "
+        "and unreachable grid cells need no cover (docs/EXPERIMENTS.md).",
+    )
+    parser.add_argument(
         "--label-split", type=int, default=None,
         help="hash decoded answers into K classes (abstain-heavy labels)",
     )
@@ -167,6 +175,7 @@ def main():
     report = {
         "cells": cells,
         "early_abstain": args.early_abstain,
+        "early_stop_radius": args.early_stop_radius,
         "label_split": args.label_split,
         "sigma_grid": sigmas,
         "n_grid": ns,
@@ -175,7 +184,7 @@ def main():
     gen = None
     mixed_gen = None
 
-    def measure_serial(early_abstain, tag):
+    def measure_serial(early, tag):
         # ONE compiled pipeline across the whole grid: sigma is a runtime
         # scalar of the noise graph, the budget only changes chunk counts
         nonlocal gen
@@ -204,7 +213,10 @@ def main():
                 smooth.certify(
                     item["image"], args.n0, n_est, 0.001,
                     seed=1000 * si + idx,
-                    early_abstain=early_abstain,
+                    early_abstain=early,
+                    early_stop_radius=(
+                        args.early_stop_radius if early else None
+                    ),
                 )
                 draws_used += smooth.last_draws
         dt = time.time() - t0
@@ -217,7 +229,7 @@ def main():
             flush=True,
         )
 
-    def measure_continuous(early_abstain, tag):
+    def measure_continuous(early, tag):
         nonlocal mixed_gen
         if mixed_gen is None:
             mixed_gen = make_mixed_generate_fn(
@@ -243,7 +255,10 @@ def main():
                 model, sigma=sig, n0=args.n0, n=n_est, alpha=0.001,
                 mc_batch=mc, max_new_tokens=args.max_new_tokens,
                 seq_len=args.seq_len, num_slots=8, gen=mixed_gen,
-                early_abstain=early_abstain,
+                early_abstain=early,
+                early_stop_radius=(
+                    args.early_stop_radius if early else None
+                ),
             )
             decided = []
             certifier.run(
