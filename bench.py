@@ -59,14 +59,28 @@ def chip_peak_tflops(device) -> float:
     return _DEFAULT_PEAK
 
 
-def flops_per_draw(cfg, seq_len: int, new_tokens: int) -> float:
+def flops_split_per_draw(cfg, seq_len: int, new_tokens: int):
     """Analytic matmul FLOPs for ONE noise draw through the full pipeline
-    (ViT encode + Q-Former + projection + decoder prefill + greedy decode).
-    2 FLOPs per MAC; attention counted as the two S x S batched matmuls."""
+    (ViT encode + Q-Former + projection + decoder prefill + greedy decode),
+    split by the MXU path that executes them: ``(int8_flops, bf16_flops)``.
+    2 FLOPs per MAC; attention counted as the two S x S batched matmuls.
+
+    The int8 bucket holds exactly the matmuls the W8A8 serving mode runs
+    on the double-rate int8 MXU path (ops/quantization.py): the ViT
+    qkv/proj/fc1/fc2 kernels when ``cfg.vit.act_quant`` and the decoder's
+    multi-token (prefill) q/k/v/o/gate/up/down matmuls when
+    ``cfg.llama.act_quant``. Everything else — ViT attention + patchify,
+    the whole Q-Former, the projection, decoder attention, the bf16
+    lm_head, and the memory-bound single-token decode matmuls (weight-only
+    int8: dequantized to bf16 MACs) — stays in the bf16 bucket. The split
+    feeds ``hw_util_vs_mixed_peak`` (utilization against the peak of the
+    precision mix actually executed) next to the model-FLOP ``mfu``
+    (everything divided by the bf16 peak)."""
     v = cfg.vit
     S, d, i = v.seq_len, v.embed_dim, v.mlp_hidden
-    vit = v.depth * (8 * S * d * d + 4 * S * S * d + 4 * S * d * i)
-    vit += 2 * S * (v.patch_size**2 * v.in_channels) * d  # patchify
+    vit_dense = v.depth * (8 * S * d * d + 4 * S * d * i)  # qkv/proj/fc1/fc2
+    vit_attn = v.depth * 4 * S * S * d
+    vit_patch = 2 * S * (v.patch_size**2 * v.in_channels) * d  # patchify
 
     q = cfg.qformer
     Q, h, qi, K, ew = (
@@ -90,13 +104,32 @@ def flops_per_draw(cfg, seq_len: int, new_tokens: int) -> float:
         + 2 * (lc.num_heads * lc.head_dim) * D  # o
         + 6 * D * I  # gate, up, down
     )
-    prefill = lc.num_layers * (seq_len * per_tok_mm + 4 * seq_len * seq_len * D)
-    prefill += 2 * D * lc.vocab_size  # lm_head, last position only
+    prefill_mm = lc.num_layers * seq_len * per_tok_mm
+    prefill_attn = lc.num_layers * 4 * seq_len * seq_len * D
+    lm_head = 2 * D * lc.vocab_size  # last position only
     decode = new_tokens * (
         lc.num_layers * (per_tok_mm + 4 * (seq_len + new_tokens) * D)
         + 2 * D * lc.vocab_size
     )
-    return float(vit + qf + proj + prefill + decode)
+
+    int8 = 0.0
+    if getattr(v, "act_quant", False):
+        int8 += vit_dense
+        vit_dense = 0.0
+    if getattr(lc, "act_quant", False):
+        int8 += prefill_mm
+        prefill_mm = 0.0
+    bf16 = (
+        vit_dense + vit_attn + vit_patch + qf + proj
+        + prefill_mm + prefill_attn + lm_head + decode
+    )
+    return float(int8), float(bf16)
+
+
+def flops_per_draw(cfg, seq_len: int, new_tokens: int) -> float:
+    """Total model FLOPs for one draw (see ``flops_split_per_draw``)."""
+    int8, bf16 = flops_split_per_draw(cfg, seq_len, new_tokens)
+    return int8 + bf16
 
 
 def build_full_int8_params(cfg):
@@ -359,8 +392,17 @@ def main(argv=None):
     new_tokens_done = args.max_new_tokens
     if args.early_exit and mean_answer_tokens is not None:
         new_tokens_done = min(args.max_new_tokens, max_answer_tokens + 1)
-    tflop_draw = flops_per_draw(cfg, args.seq_len, new_tokens_done) / 1e12
+    int8_fl, bf16_fl = flops_split_per_draw(cfg, args.seq_len, new_tokens_done)
+    tflop_draw = (int8_fl + bf16_fl) / 1e12
     peak = chip_peak_tflops(jax.devices()[0])
+    # hardware utilization against the MIXED peak: int8 matmuls ride the
+    # MXU's double-rate path, so the ideal time for the executed mix is
+    # int8/(2*peak) + bf16/peak — `mfu` (all FLOPs / bf16 peak) flatters
+    # a W8A8 stack by up to the int8 fraction; both are reported
+    # (VERDICT r4 item 4)
+    hw_util = (
+        draws * (int8_fl / 2 + bf16_fl) / 1e12 / seconds / peak
+    )
     detail = {
         "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
         "mc_batch": mc_batch,
@@ -368,6 +410,8 @@ def main(argv=None):
         "tflops_per_draw": round(tflop_draw, 3),
         "model_tflops_per_sec": round(draws * tflop_draw / seconds, 1),
         "mfu": round(draws * tflop_draw / seconds / peak, 3),
+        "hw_util_vs_mixed_peak": round(hw_util, 3),
+        "int8_flop_fraction": round(int8_fl / (int8_fl + bf16_fl), 3),
         "draws_per_sec": round(draws / seconds, 1),
         "label": int(label),
         "radius": round(float(radius), 4),

@@ -81,13 +81,15 @@ class SmoothedVQAAgentBase(BaseAgent):
         # answers are 1-4 tokens, so serving skips most of the decode
         # budget (models/minigpt4.py generate early_exit)
         self.early_exit = bool(run.get("early_exit", False))
-        # exact early stopping of the estimation pass (certify only):
-        # early_abstain stops a draw budget the moment abstention is
-        # already certain — statistically free, bit-identical result
-        # (smoothing.min_count_for_lower_bound); early_stop_radius=R
-        # additionally stops once radius >= R is guaranteed, reporting
-        # the conservative floor (set R >= max(radius_grid) to keep the
-        # summary table identical to the full-budget run's)
+        # exact early stopping of the estimation pass: early_abstain
+        # stops a draw budget the moment the outcome is already certain
+        # — statistically free, bit-identical result (certify:
+        # smoothing.min_count_for_lower_bound; predict: the
+        # completion-certain corner checks of predict_stop_certain);
+        # early_stop_radius=R (certify only) additionally stops once
+        # radius >= R is guaranteed, reporting the conservative floor
+        # (set R >= the largest ACHIEVABLE radius_grid point to keep
+        # the summary table identical to the full-budget run's)
         self.early_abstain = bool(run.get("early_abstain", False))
         esr = run.get("early_stop_radius")
         self.early_stop_radius = float(esr) if esr is not None else None
@@ -257,7 +259,10 @@ class SmoothedVQAAgentBase(BaseAgent):
             window=int(self.run_cfg.get("dispatch_window", 4)),
             gen=self._gen_cache["mixed_gen"],
             mode=mode,
-            early_abstain=self.early_abstain if mode == "certify" else False,
+            # certify: abstain-certain + radius-floor stopping; predict:
+            # completion-certain stopping (predict_stop_certain) — both
+            # exact, both behind run.early_abstain
+            early_abstain=self.early_abstain,
             early_stop_radius=(
                 self.early_stop_radius if mode == "certify" else None
             ),
@@ -557,6 +562,9 @@ class PredictAgent(SmoothedVQAAgentBase):
                 label = smooth.predict(
                     item["image"], self.n, self.alpha,
                     seed=certify_seed(self.seed, idx, self.sigma),
+                    # completion-certain stopping: decision bit-identical
+                    # to the full budget (smoothing.predict_stop_certain)
+                    early_stop=self.early_abstain,
                 )
                 dt = time.time() - t0
                 text = vocab.text_of(label) if label != ABSTAIN else "<abstain>"
@@ -571,6 +579,10 @@ class PredictAgent(SmoothedVQAAgentBase):
                     "seconds": round(dt, 3),
                     "sigma": self.sigma,
                     "n": self.n,
+                    # draws actually labeled (< n when early stopping
+                    # fired; the device additionally sinks up to
+                    # window x mc_batch in-flight draws)
+                    "draws": int(smooth.last_draws),
                 }
                 rows.append(row)
                 sink.write(json.dumps(row) + "\n")
@@ -586,6 +598,10 @@ class PredictAgent(SmoothedVQAAgentBase):
             "abstention_rate": sum(1 for r in rows if r["abstain"]) / max(total, 1),
             "mean_seconds_per_image": float(
                 np.mean([r["seconds"] for r in rows]) if rows else 0.0
+            ),
+            # < n when run.early_abstain's completion-certain rule fired
+            "mean_draws_per_image": float(
+                np.mean([r["draws"] for r in rows]) if rows else float(self.n)
             ),
         }
         with open(
@@ -612,6 +628,11 @@ class PredictAgent(SmoothedVQAAgentBase):
                 "abstention_rate": sum(
                     1 for r in rows if r["abstain"]
                 ) / max(total, 1),
+                # < n when run.early_abstain's completion-certain rule
+                # fired (the freed budget repacks with other images)
+                "mean_draws_per_image": float(
+                    np.mean([r["draws"] for r in rows])
+                ) if rows else float(self.n),
             }
 
         return self._continuous_run(

@@ -247,6 +247,20 @@ class EvalAgent(BaseAgent):
         # bs>=64. Each window slot pins one batch's device inputs
         # (~bs * img^2 * 3 * 4 bytes), so the default stays small.
         window = max(1, int(self.run_cfg.get("dispatch_window", 2)))
+        # same construction-time guard as the certify schedulers
+        # (classifier.check_dispatch_window_hbm): a large user-set window
+        # would otherwise OOM mid-run with no earlier signal. The slot
+        # row count is the PADDED batch (what actually ships to device).
+        from certifiedgpt_tpu.parallel.mesh import batch_divisor as _bd
+        from certifiedgpt_tpu.smoothing.classifier import (
+            check_dispatch_window_hbm,
+        )
+
+        padded_bs = -(-self.batch_size // _bd(self.mesh)) * _bd(self.mesh)
+        check_dispatch_window_hbm(
+            window, padded_bs, self.model.cfg.vit.img_size,
+            logger=self.logger,
+        )
         inflight: deque = deque()
 
         def consume(entry) -> None:

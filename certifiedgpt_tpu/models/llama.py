@@ -50,6 +50,23 @@ class LlamaConfig:
     dtype: Any = jnp.bfloat16
     # rematerialize blocks on backward (jax.checkpoint)
     remat: bool = False
+    # what the per-block jax.checkpoint may SAVE instead of recomputing
+    # (active only with remat=True; full-scale policy x (ms, GB) sweep
+    # in docs/DESIGN.md — VERDICT r4 item 2):
+    #   "full"     save nothing: backward replays the whole block
+    #              (r1-r4 behavior, minimum memory)
+    #   "dots"     jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    #              — every plain matmul output survives to backward, so
+    #              the recompute is only attention + elementwise
+    #              (~100 MB/layer at B=8, S=160)
+    #   "dots_all" jax.checkpoint_policies.dots_saveable — also the
+    #              attention score/context dots (+[B,H,S,S]/layer)
+    remat_policy: str = "full"
+    # checkpoint only every k-th decoder block (1 = all of them, the
+    # r1-r4 behavior). Layers in between keep their intermediates as
+    # ordinary scan residuals, so the backward recompute shrinks to
+    # 1/k of the forward at ~(k-1)/k of the no-remat activation cost.
+    remat_every: int = 1
     # W8A8 serving mode for COMPUTE-BOUND calls: when the layer kernels
     # are int8 (ops/quantization.quantize_llama), also quantize the
     # activations per row on multi-token calls (prefill), hitting the
@@ -185,6 +202,15 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> Dict[str, Any]:
 # ----------------------------------------------------------------------
 # forward
 # ----------------------------------------------------------------------
+# remat_policy name -> jax.checkpoint policy factory (thunks so the
+# lookup never touches jax.checkpoint_policies at import time)
+_REMAT_POLICIES = {
+    "full": lambda: None,
+    "dots": lambda: jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    "dots_all": lambda: jax.checkpoint_policies.dots_saveable,
+}
+
+
 def _block(
     x: jnp.ndarray,
     lp: Dict[str, Any],
@@ -304,13 +330,55 @@ def llama_apply(
     if kv_cache is None:
         block = _block
         if cfg.remat:
-            block = jax.checkpoint(_block, static_argnums=(2,))
+            if cfg.remat_policy not in _REMAT_POLICIES:
+                raise ValueError(
+                    f"remat_policy={cfg.remat_policy!r} not in "
+                    f"{sorted(_REMAT_POLICIES)}"
+                )
+            block = jax.checkpoint(
+                _block,
+                static_argnums=(2,),
+                policy=_REMAT_POLICIES[cfg.remat_policy](),
+            )
 
-        def step(carry, lp):
-            y, _ = block(carry, lp, cfg, cos, sin, positions, mask, None, None)
-            return y, None
+        if cfg.remat and cfg.remat_every > 1:
+            # checkpoint only every k-th block: scan over groups of k
+            # layers whose FIRST block is rematted; the other k-1 keep
+            # their intermediates as ordinary scan residuals. Backward
+            # recompute drops to 1/k of the forward for ~(k-1)/k of the
+            # no-remat activation memory (policy x time/memory sweep in
+            # docs/DESIGN.md).
+            k = int(cfg.remat_every)
+            if cfg.num_layers % k:
+                raise ValueError(
+                    f"remat_every={k} must divide num_layers="
+                    f"{cfg.num_layers}"
+                )
+            grouped = jax.tree_util.tree_map(
+                lambda a: a.reshape(cfg.num_layers // k, k, *a.shape[1:]),
+                params["layers"],
+            )
 
-        x, _ = lax.scan(step, x, params["layers"])
+            def gstep(carry, glp):
+                y = carry
+                for j in range(k):
+                    lp = jax.tree_util.tree_map(lambda a: a[j], glp)
+                    blk = block if j == 0 else _block
+                    y, _ = blk(
+                        y, lp, cfg, cos, sin, positions, mask, None, None
+                    )
+                return y, None
+
+            x, _ = lax.scan(gstep, x, grouped)
+        else:
+
+            def step(carry, lp):
+                y, _ = block(
+                    carry, lp, cfg, cos, sin, positions, mask, None, None
+                )
+                return y, None
+
+            x, _ = lax.scan(step, x, params["layers"])
         new_cache = None
     else:
         # cached mode (prefill and decode): unrolled layers over

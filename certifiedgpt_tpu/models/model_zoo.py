@@ -190,14 +190,27 @@ class MiniGPT4Model:
         # cache stream and footprint, models/llama.py::init_kv_cache)
         aq = bool(model_cfg.get("act_quant", False))
         kvq = bool(model_cfg.get("kv_quant", False))
-        if aq or kvq:
+        # Training-memory knobs: model.remat reruns decoder blocks on
+        # backward; model.remat_policy ("full"/"dots"/"dots_all") and
+        # model.remat_every (checkpoint every k-th block only) trade the
+        # recompute against activation HBM — measured policy sweep in
+        # docs/DESIGN.md (models/llama.py::_REMAT_POLICIES)
+        remat = bool(model_cfg.get("remat", False))
+        if aq or kvq or remat:
             import dataclasses
 
             cfg = dataclasses.replace(
                 cfg,
                 vit=dataclasses.replace(cfg.vit, act_quant=aq),
                 llama=dataclasses.replace(
-                    cfg.llama, act_quant=aq, kv_quant=kvq
+                    cfg.llama,
+                    act_quant=aq,
+                    kv_quant=kvq,
+                    remat=remat,
+                    remat_policy=str(
+                        model_cfg.get("remat_policy", "full")
+                    ),
+                    remat_every=int(model_cfg.get("remat_every", 1)),
                 ),
             )
 

@@ -53,6 +53,7 @@ from certifiedgpt_tpu.smoothing.smoothing import (
     certify_from_counts,
     min_count_for_lower_bound,
     predict_from_counts,
+    predict_stop_certain,
 )
 
 
@@ -250,13 +251,10 @@ class ContinuousCertifier:
     ):
         if mode not in ("certify", "predict"):
             raise ValueError(f"mode must be certify|predict, got {mode!r}")
-        if mode == "predict" and (early_abstain or early_stop_radius is not None):
-            # predict's two-sided binomial test is NOT a monotone
-            # threshold on one count — a sequential stopping rule there
-            # would spend alpha it never accounted for
-            raise ValueError(
-                "early_abstain/early_stop_radius apply to certify only"
-            )
+        if mode == "predict" and early_stop_radius is not None:
+            # predict reports no radius — there is nothing for a
+            # radius-floor stopping target to guarantee
+            raise ValueError("early_stop_radius applies to certify only")
         if mode == "predict" and int(n0) != 0:
             # predict has no selection phase — every draw feeds the
             # top-2 binomial test (Smooth.predict semantics)
@@ -302,8 +300,12 @@ class ContinuousCertifier:
         # past its dispatch window)
         self._m_abstain = (
             min_count_for_lower_bound(0.5, self.n, self.alpha)
-            if early_abstain else None
+            if early_abstain and mode == "certify" else None
         )
+        # predict's completion-certain rule (smoothing.predict_stop_certain):
+        # exact corner checks on the monotone two-sided p-value, same
+        # zero-alpha deterministic-implication argument
+        self._predict_early = bool(early_abstain) and mode == "predict"
         self._m_success = None
         if early_stop_radius is not None and self.sigma > 0:
             from scipy.stats import norm as _norm
@@ -343,10 +345,17 @@ class ContinuousCertifier:
         self._pos_bank[slot] = prompt["img_pos"][0]
 
     def _early_decided(self, job: _ImageJob) -> bool:
-        """True when the job's final certify outcome is already certain
-        (abstain-certain, or success past the radius-floor target) — no
-        alpha spent, see ``min_count_for_lower_bound``. Only meaningful
-        once the selection stream is complete (c_A fixed)."""
+        """True when the job's final outcome is already certain —
+        certify: abstain-certain or success past the radius-floor target
+        (``min_count_for_lower_bound``); predict: every completion of
+        the remaining draws returns the same decision
+        (``predict_stop_certain``). No alpha spent either way. Only
+        meaningful once the selection stream is complete (c_A fixed;
+        predict has n0=0, so every decoded draw counts)."""
+        if self.mode == "predict":
+            return self._predict_early and predict_stop_certain(
+                job.est_counts, self.n - job.decoded, self.alpha
+            )
         if (self._m_abstain is None and self._m_success is None) or (
             job.decoded < job.n0
         ):

@@ -153,6 +153,60 @@ def predict_from_counts(counts: np.ndarray, alpha: float) -> int:
     return c_a
 
 
+def predict_stop_certain(
+    counts: np.ndarray, remaining: int, alpha: float
+) -> bool:
+    """True when EVERY completion of the ``remaining`` draws yields the
+    same ``predict_from_counts`` decision the partial ``counts`` already
+    imply — the completion-certain stopping rule for predict. Stopping
+    on it spends no alpha (a deterministic implication of data the final
+    test would see, the same argument as ``min_count_for_lower_bound``'s
+    abstain-certain rule) and the decision is bit-identical to the
+    full-budget run's.
+
+    The test statistic is the top-2 pair (n_a, n_b); at p = 1/2 the
+    two-sided exact p-value ``2 P(Binom(n_a+n_b, 1/2) >= n_a)`` is
+    monotone by a one-draw coupling — DECREASING in n_a (the extra draw
+    can only push the tail further out: P(X + B >= k+1) =
+    P(X >= k+1) + P(B=1) P(X = k) <= P(X >= k)) and INCREASING in n_b
+    (P(X + B >= k) >= P(X >= k)). Counts never decrease, so the
+    reachable (n_a, n_b) pairs form a lattice whose p-value extremes sit
+    at corners, and certainty reduces to three corner checks on the
+    current top count ``a`` and runner-up count ``b`` with ``r`` draws
+    left:
+
+    - class-certain: ``a >= b + r + 1`` (no class can tie the top even
+      taking every remaining draw, so the final argmax is today's) AND
+      the least significant completion ``(a, b + r)`` still rejects —
+      then every completion returns the same class.
+    - abstain-certain: the MOST significant completions are
+      ``(a + r, b)`` (argmax keeps the lead, takes everything) and
+      ``(b + r, a)`` (the strongest challenger overtakes — any other
+      class t has c_t <= b and by n_a-monotonicity is dominated); if
+      neither rejects, no completion rejects and every completion
+      abstains.
+
+    Draws the sampler discards (label < 0) only shrink the effective
+    ``r``, which keeps both checks conservative. No reference
+    counterpart (the reference always burns the full n,
+    ref ``smoothing.py:58-79``).
+    """
+    r = int(remaining)
+    if r <= 0:
+        return True
+    c = np.asarray(counts, dtype=np.int64)
+    order = np.argsort(c)[::-1]
+    a = int(c[order[0]])
+    b = int(c[order[1]])
+    if a >= b + r + 1 and binom_p_value(a, a + b + r, 0.5) <= alpha:
+        return True  # class-certain: same top class, always significant
+    if binom_p_value(a + r, a + r + b, 0.5) <= alpha:
+        return False  # a completion keeping today's argmax can reject
+    if b + r >= a and binom_p_value(b + r, b + r + a, 0.5) <= alpha:
+        return False  # a challenger-overtakes completion can reject
+    return True  # abstain-certain: no completion reaches significance
+
+
 class Smooth:
     """Smoothed classifier g(x) = argmax_c P(f(x + sigma*eps) = c).
 
@@ -296,13 +350,53 @@ class Smooth:
             raise
 
     # ------------------------------------------------------------------
-    def predict(self, x, n: int, alpha: float, seed: int = 0) -> int:
+    def predict(
+        self,
+        x,
+        n: int,
+        alpha: float,
+        seed: int = 0,
+        early_stop: bool = False,
+    ) -> int:
         """Top class of n draws, abstain unless the top-2 split is
-        significant at level alpha (ref ``smoothing.py:58-79``)."""
+        significant at level alpha (ref ``smoothing.py:58-79``).
+
+        ``early_stop``: stop the moment every completion of the
+        remaining draws yields the same decision
+        (``predict_stop_certain`` — exact corner checks on the monotone
+        two-sided p-value). Statistically free, decision bit-identical
+        to the full-budget run; needs the should_stop-capable sample_fn
+        that ``early_abstain`` does. The reference always burns the
+        full n."""
+        self.last_draws = 0
         if self.num_classes < 2:
             # degenerate single-class label set: the two-sided test is
             # meaningless; abstain BEFORE paying the n-draw Monte-Carlo
             # pass (certify guards the same way)
             return ABSTAIN
-        counts = self._counts(x, n, seed)
+        if not early_stop:
+            counts = self._counts(x, n, seed)
+            self.last_draws = n
+            return predict_from_counts(counts, alpha)
+
+        def should_stop(labels: np.ndarray) -> bool:
+            counts = np.bincount(
+                labels[labels >= 0], minlength=self.num_classes
+            )
+            return predict_stop_certain(counts, n - labels.size, alpha)
+
+        labels = np.asarray(self._call_with_stop(x, n, seed, should_stop))
+        if labels.size and labels.max() >= self.num_classes:
+            raise ValueError(
+                f"sample_fn returned label {int(labels.max())} >= "
+                f"num_classes {self.num_classes}"
+            )
+        self.last_draws = int(labels.size)
+        counts = np.bincount(
+            labels[labels >= 0], minlength=self.num_classes
+        ).astype(np.int64)
+        # exact with partial counts: predict_stop_certain only fires when
+        # the partial decision is what every completion returns (the
+        # class-certain corner keeps the argmax and significance; the
+        # abstain-certain corners rule significance out entirely)
         return predict_from_counts(counts, alpha)

@@ -44,15 +44,30 @@ sys.path.insert(0, ".")
 
 
 class _SplitVocab:
-    """AnswerVocabulary veneer that hashes the decoded text into K
-    classes (abstain-heavy synthetic labels; see module docstring)."""
+    """AnswerVocabulary veneer that hashes the decoded text PLUS a
+    per-image draw counter into K ~uniform classes (abstain-heavy
+    synthetic labels; see module docstring).
+
+    The counter is load-bearing (r5): measured at full scale, the
+    random-weight model decodes the SAME garbage text for essentially
+    every noise draw of an image, so hashing the text alone maps all
+    draws to one class — pA ~ 1, zero abstains, and the early-abstain
+    rule never fires (the r4 text-only split measured serial/continuous
+    draws identical at 8800/8800). Folding the draw index in makes the
+    label stream ~uniform over K — the stand-in for a model whose
+    answers genuinely vary under noise — while device work and host
+    decode stay untouched (the hash still runs on the decoded text,
+    exactly where AnswerVocabulary.label_of would)."""
 
     def __init__(self, k: int):
         self.num_classes = int(k)
         self.other_label = 0
+        self._draw = 0
 
     def label_of(self, text: str) -> int:
-        digest = hashlib.blake2b(text.encode(), digest_size=4).digest()
+        self._draw += 1
+        payload = f"{text}#{self._draw}".encode()
+        digest = hashlib.blake2b(payload, digest_size=4).digest()
         return int.from_bytes(digest, "little") % self.num_classes
 
     def text_of(self, label: int) -> str:

@@ -829,10 +829,11 @@ def test_serial_certify_early_abstain_plumbing(eval_setup):
     assert 0 < summary["mean_draws_per_image"] <= 20.0
 
 
-def test_continuous_early_flags_rejected_in_predict_mode():
-    """predict's two-sided binomial test is not a monotone one-count
-    threshold — a sequential stopping rule there would spend alpha it
-    never accounted for. Reject at construction."""
+def test_continuous_early_stop_radius_rejected_in_predict_mode():
+    """predict reports no radius, so a radius-floor stopping target has
+    nothing to guarantee — reject at construction. (early_abstain IS
+    supported in predict mode since r5: the completion-certain rule,
+    smoothing.predict_stop_certain.)"""
     import pytest
 
     from certifiedgpt_tpu.smoothing.continuous import ContinuousCertifier
@@ -841,14 +842,98 @@ def test_continuous_early_flags_rejected_in_predict_mode():
         ContinuousCertifier(
             None, sigma=0.5, n0=0, n=8, alpha=0.05, mc_batch=4,
             max_new_tokens=2, seq_len=16, gen=lambda *a: None,
-            mode="predict", early_abstain=True,
-        )
-    with pytest.raises(ValueError, match="certify only"):
-        ContinuousCertifier(
-            None, sigma=0.5, n0=0, n=8, alpha=0.05, mc_batch=4,
-            max_new_tokens=2, seq_len=16, gen=lambda *a: None,
             mode="predict", early_stop_radius=0.5,
         )
+
+
+def test_continuous_predict_early_stop_matches_full_budget(
+    eval_setup, monkeypatch
+):
+    """run.early_abstain in CONTINUOUS predict mode: with prefix-stable
+    per-image label streams (patched at the record level, like the
+    certify equivalence test), the early-stopped run must emit EXACTLY
+    the full-budget run's per-image decisions while consuming fewer
+    draws on the decided images (VERDICT r4 item 3)."""
+    from certifiedgpt_tpu.smoothing import continuous as cont_mod
+
+    make_cfg, tmp_path = eval_setup
+    rng = np.random.default_rng(1)
+    streams = {}
+    for idx in range(6):
+        if idx < 2:
+            streams[idx] = np.zeros(32, np.int64)  # decisive: class-certain
+        else:
+            streams[idx] = rng.integers(0, 2, size=32)  # abstain-certain
+
+    orig_record = cont_mod._ImageJob.record
+
+    def fake_record(self, label):
+        orig_record(self, int(streams[self.index][self.decoded]))
+
+    monkeypatch.setattr(cont_mod._ImageJob, "record", fake_record)
+
+    common = dict(
+        continuous=True,
+        active_images=2,
+        predict_n=32,
+        certify_alpha=0.05,
+        mc_batch=8,
+        max_images=6,
+        noise_level=0.25,
+    )
+    full = setup_agent(
+        make_cfg("image_text_predict", output_dir=str(tmp_path / "fb"), **common)
+    )
+    f_sum = full.run()
+    early = setup_agent(
+        make_cfg(
+            "image_text_predict", output_dir=str(tmp_path / "pe"),
+            early_abstain=True, **common,
+        )
+    )
+    e_sum = early.run()
+
+    f_rows = [
+        json.loads(line) for line in
+        (tmp_path / "fb" / "predict_results.jsonl").read_text().splitlines()
+    ]
+    e_rows = [
+        json.loads(line) for line in
+        (tmp_path / "pe" / "predict_results.jsonl").read_text().splitlines()
+    ]
+    f_rows.sort(key=lambda r: r["index"])
+    e_rows.sort(key=lambda r: r["index"])
+    assert [r["label"] for r in e_rows] == [r["label"] for r in f_rows]
+    assert [r["abstain"] for r in e_rows] == [r["abstain"] for r in f_rows]
+    assert all(r["draws"] == 32 for r in f_rows)
+    assert all(0 < r["draws"] <= 32 for r in e_rows)
+    saved = sum(32 - r["draws"] for r in e_rows)
+    assert saved > 0, "completion-certain stopping never fired"
+    assert e_sum["mean_draws_per_image"] < f_sum["mean_draws_per_image"]
+
+
+def test_serial_predict_early_stop_plumbing(eval_setup):
+    """run.early_abstain through the SERIAL predict path: rows carry the
+    consumed-draws count and the summary reports mean_draws_per_image."""
+    make_cfg, tmp_path = eval_setup
+    agent = setup_agent(
+        make_cfg(
+            "image_text_predict",
+            predict_n=16,
+            certify_alpha=0.05,
+            mc_batch=4,
+            max_images=2,
+            early_abstain=True,
+        )
+    )
+    summary = agent.run()
+    rows = [
+        json.loads(line) for line in
+        (tmp_path / "out_image_text_predict" / "predict_results.jsonl")
+        .read_text().splitlines()
+    ]
+    assert all(0 < r["draws"] <= 16 for r in rows)
+    assert 0 < summary["mean_draws_per_image"] <= 16.0
 
 
 def test_eval_dispatch_window_matches_sync_loop(eval_setup):
@@ -879,3 +964,34 @@ def test_eval_dispatch_window_matches_sync_loop(eval_setup):
     assert res_sync["num_questions"] == res_win["num_questions"] == 6
     assert res_sync["overall_accuracy"] == res_win["overall_accuracy"]
     assert preds_sync == preds_win
+
+
+def test_eval_dispatch_window_hbm_guard_plumbing(eval_setup, monkeypatch):
+    """The eval agent must pre-check its in-flight window's device-input
+    bytes against free HBM at run() start (window slots pin one PADDED
+    batch of fp32 images each, ~231 MB/slot at full scale) — the same
+    construction-time config-error-over-mid-run-OOM contract as the two
+    certify schedulers. Asserts the guard is called with the padded
+    batch rows and that its ValueError aborts the run."""
+    from certifiedgpt_tpu.smoothing import classifier as clf_mod
+
+    make_cfg, tmp_path = eval_setup
+    calls = {}
+
+    def fake_guard(window, rows, img, **kw):
+        calls["args"] = (window, rows, img)
+        raise ValueError("dispatch window x mc_batch needs too much HBM")
+
+    monkeypatch.setattr(clf_mod, "check_dispatch_window_hbm", fake_guard)
+    agent = setup_agent(
+        make_cfg("image_text_eval", dispatch_window=64, batch_size=3)
+    )
+    with pytest.raises(ValueError, match="HBM"):
+        agent.run()
+    from certifiedgpt_tpu.parallel.mesh import batch_divisor
+
+    window, rows, img = calls["args"]
+    assert window == 64
+    # the PADDED batch (mesh-divisible), not the raw configured one
+    assert rows == -(-3 // batch_divisor(agent.mesh)) * batch_divisor(agent.mesh)
+    assert img == agent.model.cfg.vit.img_size

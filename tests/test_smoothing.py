@@ -367,6 +367,84 @@ def test_certify_early_abstain_bit_identical_to_full_budget(probs):
         assert saved > 0
 
 
+def test_predict_stop_certain_exact_by_brute_force():
+    """predict_stop_certain must be SOUND: whenever it returns True,
+    every completion of the remaining draws (including completions that
+    discard draws — the sampler may emit label -1) yields exactly the
+    partial counts' predict_from_counts decision. Brute-forced over all
+    allocations of r draws among the classes + a discard bucket, for a
+    grid of random small count vectors — this pins the monotone-corner
+    argument (class-certain / abstain-certain) against the exact test."""
+    from itertools import product
+
+    from certifiedgpt_tpu.smoothing.smoothing import (
+        predict_from_counts,
+        predict_stop_certain,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (np.array([9, 0]), 3),     # class-certain candidate
+        (np.array([5, 5]), 2),     # dead tie
+        (np.array([4, 3, 3]), 2),  # near-uniform: abstain-certain
+        (np.array([12, 1, 0]), 4),
+        (np.array([0, 0]), 5),
+    ]
+    cases += [
+        (rng.integers(0, 10, size=rng.integers(2, 5)), int(rng.integers(0, 5)))
+        for _ in range(40)
+    ]
+    for alpha in (0.05, 0.3):
+        for counts, r in cases:
+            counts = np.asarray(counts, np.int64)
+            if not predict_stop_certain(counts, r, alpha):
+                continue
+            base = predict_from_counts(counts, alpha)
+            k = counts.size
+            # every way to spend <= r draws across k classes (the
+            # remainder is discarded draws)
+            for alloc in product(range(r + 1), repeat=k):
+                if sum(alloc) > r:
+                    continue
+                final = counts + np.asarray(alloc, np.int64)
+                assert predict_from_counts(final, alpha) == base, (
+                    f"counts={counts.tolist()} r={r} alpha={alpha} "
+                    f"alloc={alloc}: decision changed"
+                )
+
+
+@pytest.mark.parametrize(
+    "probs",
+    [
+        [0.95, 0.05],          # decisive: class-certain fires early
+        [0.5, 0.5],            # borderline
+        [0.34, 0.33, 0.33],    # abstains: abstain-certain fires
+        [0.05, 0.95],
+    ],
+)
+def test_predict_early_stop_bit_identical_to_full_budget(probs):
+    """predict(early_stop=True) must return the SAME decision as the
+    full-budget run for every seed — the completion-certain rule only
+    fires when the outcome is already implied (VERDICT r4 item 3's
+    proof-of-equivalence, mirroring the certify early_abstain test)."""
+    sampler = _PrefixChunkSampler(probs)
+    k = len(probs)
+    n, alpha = 200, 0.01
+    saved = 0
+    for seed in range(6):
+        full = Smooth(sampler, k, 0.5)
+        label_f = full.predict(None, n, alpha, seed=seed)
+        assert full.last_draws == n
+        early = Smooth(sampler, k, 0.5)
+        label_e = early.predict(None, n, alpha, seed=seed, early_stop=True)
+        assert label_e == label_f
+        assert early.last_draws <= n
+        saved += n - early.last_draws
+    # decisive AND strongly-abstaining streams must both stop early
+    if probs in ([0.95, 0.05], [0.05, 0.95], [0.34, 0.33, 0.33]):
+        assert saved > 0
+
+
 def test_certify_early_stop_radius_reports_conservative_floor():
     """early_stop_radius=R: same label as the full run; when the rule
     fires the reported radius is a floor in [R, full radius]; every
