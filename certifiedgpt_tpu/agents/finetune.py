@@ -67,6 +67,21 @@ class FinetuneAgent(BaseAgent):
         self.noise_dist = str(run.get("noise_dist", "gaussian"))
         self.batch_size = int(run.get("batch_size", 4))
         self.seq_len = int(run.get("seq_len", 256))
+        # run.pack_sequences: K — pack K samples per training row
+        # (block-diagonal attention, per-segment positions; identical
+        # supervised tokens — data/text.pack_train_batch). Train-only:
+        # validation stays unpacked because its early-stop signal needs
+        # per-SAMPLE losses (reduction='none' is per row).
+        self.pack = int(run.get("pack_sequences", 1))
+        if self.pack < 1:
+            raise ValueError(
+                f"run.pack_sequences must be >= 1, got {self.pack}"
+            )
+        if self.batch_size % self.pack:
+            raise ValueError(
+                f"run.batch_size={self.batch_size} is not divisible by "
+                f"run.pack_sequences={self.pack}"
+            )
         self.seed = int(run.get("seed", 42))
         self.trainable_keys = tuple(
             run.get("trainable_keys", ["llama_proj"])
@@ -205,7 +220,11 @@ class FinetuneAgent(BaseAgent):
                 )
         return loaders
 
-    def device_batch(self, host_batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    def device_batch(
+        self, host_batch: Dict[str, Any], pack: int = 0
+    ) -> Dict[str, jnp.ndarray]:
+        if pack == 0:
+            pack = self.pack
         spec = BatchSpec(
             seq_len=self.seq_len,
             num_img_tokens=self.model.cfg.num_img_tokens,
@@ -214,10 +233,26 @@ class FinetuneAgent(BaseAgent):
         if "turns" in host_batch:
             # multi-turn conversation datasets (ref tokenize_conversation
             # layout, minigpt_base.py:208-252)
+            if pack > 1:
+                raise ValueError(
+                    "run.pack_sequences does not support multi-turn "
+                    "conversation datasets (each row already carries "
+                    "one long conversation)"
+                )
             from certifiedgpt_tpu.data.text import build_multiturn_train_batch
 
             text = build_multiturn_train_batch(
                 self.model.tokenizer, host_batch["turns"], spec
+            )
+        elif pack > 1:
+            from certifiedgpt_tpu.data.text import pack_train_batch
+
+            text = pack_train_batch(
+                self.model.tokenizer,
+                host_batch["instruction_input"],
+                host_batch["answer"],
+                spec,
+                pack,
             )
         else:
             text = build_train_batch(
@@ -304,7 +339,10 @@ class FinetuneAgent(BaseAgent):
                 },
                 self.mesh,
             )["valid"]
-            dev_batch = self.device_batch(batch)
+            # validation stays UNPACKED: the per-sample `valid` mask and
+            # reduction='none' are per row, and a packed row holds K
+            # samples
+            dev_batch = self.device_batch(batch, pack=1)
             step_rng = jax.random.fold_in(rng, 10_000_000 + v_batches)
             loss_sum, count = self._eval_step(
                 trainable, frozen, dev_batch, valid, step_rng

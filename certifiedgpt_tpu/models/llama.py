@@ -296,6 +296,7 @@ def llama_apply(
     kv_cache: Optional[Dict[str, jnp.ndarray]] = None,
     cache_offset: Optional[jnp.ndarray] = None,  # scalar int32
     compute_logits: bool = True,
+    segment_ids: Optional[jnp.ndarray] = None,  # [B, S] packed-segment ids
 ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Run the decoder.
 
@@ -304,6 +305,12 @@ def llama_apply(
     query tokens attend to the cache of length ``max_len`` after their
     keys/values are written at ``cache_offset``; ``attention_mask`` is
     [B, max_len] validity over cache slots.
+
+    ``segment_ids`` (no-cache mode only) isolates packed training
+    segments: token i attends to token j only when both carry the same
+    segment id (``data/text.pack_train_batch``; block-diagonal causal
+    mask). Rotary ``positions`` are the caller's — packed rows restart
+    them per segment.
 
     Returns (logits or None, final_hidden, new_cache).
     """
@@ -316,7 +323,18 @@ def llama_apply(
         # causal [1, 1, S, S] AND key-validity [B, 1, 1, S]
         causal = jnp.tril(jnp.ones((s, s), jnp.bool_))[None, None]
         mask = causal & attention_mask[:, None, None, :].astype(jnp.bool_)
+        if segment_ids is not None:
+            # block-diagonal: queries see only their own packed segment
+            # (pad slots carry id 0 and end all-masked — the fp32
+            # softmax's tiny-guard returns 0 rows, no NaN)
+            same = segment_ids[:, :, None] == segment_ids[:, None, :]
+            mask = mask & same[:, None]
     else:
+        if segment_ids is not None:
+            raise ValueError(
+                "segment_ids (packed sequences) is a training-forward "
+                "feature; cached prefill/decode is unpacked"
+            )
         sk = kv_cache["k"][0].shape[1]
         # Query token i (global position cache_offset + i) may attend to
         # cache slot j iff j <= cache_offset + i and the slot is valid.

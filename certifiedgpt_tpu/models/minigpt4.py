@@ -178,6 +178,31 @@ def assemble_embeds(
     return jax.vmap(put)(text_embeds, img_embeds.astype(text_embeds.dtype), img_pos)
 
 
+def assemble_packed_embeds(
+    params: Dict[str, Any],
+    cfg: MiniGPT4Config,
+    input_ids: jnp.ndarray,  # [R, S] packed rows
+    img_embeds: jnp.ndarray,  # [R, K, T_img, D] one image per segment
+    img_pos: jnp.ndarray,  # [R, K] int32 — image span start per segment
+) -> jnp.ndarray:
+    """Packed-row variant of ``assemble_embeds``: each row holds K
+    segments (``data/text.pack_train_batch``), each with its own image
+    span. K is static and small, so the scatter unrolls."""
+    text_embeds = embed_tokens(params["llama"], input_ids)
+
+    def put_row(row_embeds, row_imgs, row_pos):
+        acc = row_embeds
+        for j in range(row_imgs.shape[0]):  # static K
+            acc = lax.dynamic_update_slice(
+                acc, row_imgs[j], (row_pos[j], 0)
+            )
+        return acc
+
+    return jax.vmap(put_row)(
+        text_embeds, img_embeds.astype(text_embeds.dtype), img_pos
+    )
+
+
 # ----------------------------------------------------------------------
 # training forward
 # ----------------------------------------------------------------------
@@ -195,16 +220,48 @@ def minigpt4_loss(
     labels [B,S], img_pos [B]. Pass precomputed ``img_embeds`` to skip
     the vision tower (candidate ranking runs many text variants over the
     same images — see ``rank_answers``).
+
+    Packed batches (``data/text.pack_train_batch``; ``run.pack_sequences``)
+    carry ``segment_ids``/``positions`` [R,S] and ``img_pos`` [R,K] for
+    B = R*K images: the decoder runs block-diagonal causal attention with
+    per-segment rotary positions, supervising the identical answer
+    tokens over ~1/K of the padded rows (loss-parity test in
+    ``tests/test_pack_sequences.py``).
     """
     if img_embeds is None:
         img_embeds = encode_img(params, cfg, batch["image"])
-    embeds = assemble_embeds(params, cfg, batch["input_ids"], img_embeds, batch["img_pos"])
-    positions = jnp.broadcast_to(
-        jnp.arange(embeds.shape[1]), embeds.shape[:2]
-    ).astype(jnp.int32)
-    logits, _, _ = llama_apply(
-        params["llama"], cfg.llama, embeds, batch["attention_mask"], positions
-    )
+    if "segment_ids" in batch:
+        rows, k = batch["img_pos"].shape
+        embeds = assemble_packed_embeds(
+            params, cfg, batch["input_ids"],
+            img_embeds.reshape(rows, k, *img_embeds.shape[1:]),
+            batch["img_pos"],
+        )
+        logits, _, _ = llama_apply(
+            params["llama"], cfg.llama, embeds, batch["attention_mask"],
+            batch["positions"], segment_ids=batch["segment_ids"],
+        )
+    else:
+        embeds = assemble_embeds(
+            params, cfg, batch["input_ids"], img_embeds, batch["img_pos"]
+        )
+        if embeds.shape[1] > cfg.llama.max_position_embeddings:
+            # jnp.take's fill mode would silently NaN every position past
+            # the rotary table — fail loud at trace time instead (packed
+            # rows are exempt: their per-segment positions restart at 0)
+            raise ValueError(
+                f"run.seq_len={embeds.shape[1]} exceeds the decoder's "
+                f"max_position_embeddings="
+                f"{cfg.llama.max_position_embeddings}; rotary positions "
+                f"past the table would silently NaN"
+            )
+        positions = jnp.broadcast_to(
+            jnp.arange(embeds.shape[1]), embeds.shape[:2]
+        ).astype(jnp.int32)
+        logits, _, _ = llama_apply(
+            params["llama"], cfg.llama, embeds, batch["attention_mask"],
+            positions,
+        )
     return cross_entropy_loss(
         logits, batch["labels"], cfg.label_smoothing, reduction=reduction
     )

@@ -196,7 +196,11 @@ class MiniGPT4Model:
         # recompute against activation HBM — measured policy sweep in
         # docs/DESIGN.md (models/llama.py::_REMAT_POLICIES)
         remat = bool(model_cfg.get("remat", False))
-        if aq or kvq or remat:
+        # model.max_position_embeddings: rotary table length (the HF
+        # llama config key); positions past it fail loudly in the loss
+        # path instead of NaN-ing (models/minigpt4.minigpt4_loss)
+        mpe = model_cfg.get("max_position_embeddings")
+        if aq or kvq or remat or mpe:
             import dataclasses
 
             cfg = dataclasses.replace(
@@ -211,6 +215,10 @@ class MiniGPT4Model:
                         model_cfg.get("remat_policy", "full")
                     ),
                     remat_every=int(model_cfg.get("remat_every", 1)),
+                    max_position_embeddings=(
+                        int(mpe) if mpe
+                        else cfg.llama.max_position_embeddings
+                    ),
                 ),
             )
 
