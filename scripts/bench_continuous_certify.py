@@ -111,9 +111,21 @@ def main():
         "--label-split", type=int, default=None,
         help="hash decoded answers into K classes (abstain-heavy labels)",
     )
+    parser.add_argument(
+        "--mode", choices=("certify", "predict"), default="certify",
+        help="predict: the two-sided-test decision pass (n0=0; the ON "
+        "arm uses the completion-certain rule, "
+        "smoothing.predict_stop_certain)",
+    )
+    parser.add_argument(
+        "--alpha", type=float, default=0.001,
+        help="significance level (certify lower bound / predict test)",
+    )
     parser.add_argument("--skip-serial", action="store_true")
     parser.add_argument("--skip-continuous", action="store_true")
     args = parser.parse_args()
+    if args.mode == "predict" and args.early_stop_radius is not None:
+        parser.error("--early-stop-radius applies to certify only")
 
     import jax
     import jax.numpy as jnp
@@ -189,6 +201,8 @@ def main():
 
     report = {
         "cells": cells,
+        "mode": args.mode,
+        "alpha": args.alpha,
         "early_abstain": args.early_abstain,
         "early_stop_radius": args.early_stop_radius,
         "label_split": args.label_split,
@@ -225,14 +239,20 @@ def main():
                     seq_len=args.seq_len, gen=gen,
                 )
                 smooth = Smooth(sample_fn, vocab.num_classes, sig)
-                smooth.certify(
-                    item["image"], args.n0, n_est, 0.001,
-                    seed=1000 * si + idx,
-                    early_abstain=early,
-                    early_stop_radius=(
-                        args.early_stop_radius if early else None
-                    ),
-                )
+                if args.mode == "predict":
+                    smooth.predict(
+                        item["image"], n_est, args.alpha,
+                        seed=1000 * si + idx, early_stop=early,
+                    )
+                else:
+                    smooth.certify(
+                        item["image"], args.n0, n_est, args.alpha,
+                        seed=1000 * si + idx,
+                        early_abstain=early,
+                        early_stop_radius=(
+                            args.early_stop_radius if early else None
+                        ),
+                    )
                 draws_used += smooth.last_draws
         dt = time.time() - t0
         report[f"serial{tag}_s_per_cell"] = dt / cells
@@ -267,9 +287,12 @@ def main():
         t0 = time.time()
         for si, (sig, n_est) in enumerate(zip(sigmas, ns)):
             certifier = ContinuousCertifier(
-                model, sigma=sig, n0=args.n0, n=n_est, alpha=0.001,
+                model, sigma=sig,
+                n0=0 if args.mode == "predict" else args.n0,
+                n=n_est, alpha=args.alpha,
                 mc_batch=mc, max_new_tokens=args.max_new_tokens,
                 seq_len=args.seq_len, num_slots=8, gen=mixed_gen,
+                mode=args.mode,
                 early_abstain=early,
                 early_stop_radius=(
                     args.early_stop_radius if early else None

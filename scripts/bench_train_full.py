@@ -31,12 +31,33 @@ def main():
     impl = next(
         (a for a in sys.argv[2:] if a.startswith("impl=")), "impl=flash_cls"
     ).split("=", 1)[1]
+    # selective remat (VERDICT r4 item 2): policy=<full|dots|dots_all>
+    # every=<k> pick what the per-block jax.checkpoint may save
+    # (models/llama.py::_REMAT_POLICIES); "sweep" measures every
+    # (policy, every) variant interleaved in ONE process — cross-process
+    # TPU timings drift ~5%, so a sweep of separate runs is meaningless
+    policy = next(
+        (a for a in sys.argv[2:] if a.startswith("policy=")), "policy=full"
+    ).split("=", 1)[1]
+    every = int(next(
+        (a for a in sys.argv[2:] if a.startswith("every=")), "every=1"
+    ).split("=", 1)[1])
+    # pack=K (VERDICT r4 item 5): pack K samples per row — the decoder
+    # touches ~1/K of the padded tokens for the same supervised answers
+    pack = int(next(
+        (a for a in sys.argv[2:] if a.startswith("pack=")), "pack=1"
+    ).split("=", 1)[1])
     import jax
     import jax.numpy as jnp
     import optax
 
     from bench import build_full_int8_params, chip_peak_tflops
-    from certifiedgpt_tpu.data.text import BatchSpec, ByteTokenizer, build_train_batch
+    from certifiedgpt_tpu.data.text import (
+        BatchSpec,
+        ByteTokenizer,
+        build_train_batch,
+        pack_train_batch,
+    )
     from certifiedgpt_tpu.models.eva_vit import EvaViTConfig
     from certifiedgpt_tpu.models.llama import LlamaConfig
     from certifiedgpt_tpu.models.minigpt4 import (
@@ -52,23 +73,47 @@ def main():
     # through the ViT at all (it sits before the trainable projection),
     # and the decoder's act_quant matmuls carry the straight-through vjp
     # (tests/test_quantization.py::test_w8a8_dense_gradient_is_straight_through)
-    cfg = MiniGPT4Config(
-        vit=EvaViTConfig(attn_impl=impl, act_quant=aq),
-        llama=LlamaConfig(remat=True, act_quant=aq),
-    )
+    if "small" in sys.argv[2:]:
+        # bench-scale smoke of the exact same code paths (sweep/pack
+        # mechanics) — NOT a headline number
+        import dataclasses
+
+        cfg = MiniGPT4Config.small()
+        cfg = dataclasses.replace(
+            cfg,
+            vit=dataclasses.replace(cfg.vit, attn_impl=impl, act_quant=aq),
+            llama=dataclasses.replace(
+                cfg.llama, remat=True, act_quant=aq,
+                remat_policy=policy, remat_every=every,
+            ),
+        )
+    else:
+        cfg = MiniGPT4Config(
+            vit=EvaViTConfig(attn_impl=impl, act_quant=aq),
+            llama=LlamaConfig(
+                remat=True, act_quant=aq, remat_policy=policy,
+                remat_every=every,
+            ),
+        )
     params = build_full_int8_params(cfg)
     print("params built", file=sys.stderr, flush=True)
 
     tok = ByteTokenizer()
     spec = BatchSpec(seq_len=seq, num_img_tokens=32, max_answer_len=24)
-    text = build_train_batch(
-        tok,
-        [f"<Img><ImageHere></Img> [vqa] what is object {i}?" for i in range(batch)],
-        ["cat" if i % 2 == 0 else "dog" for i in range(batch)],
-        spec,
-    )
+    prompts = [
+        f"<Img><ImageHere></Img> [vqa] what is object {i}?"
+        for i in range(batch)
+    ]
+    answers = ["cat" if i % 2 == 0 else "dog" for i in range(batch)]
+    if pack > 1:
+        # ~72-token samples (the realistic instruction+short-answer
+        # fill): pack=2 fills 144/160 of each row vs 72/160 unpacked
+        text = pack_train_batch(tok, prompts, answers, spec, pack)
+    else:
+        text = build_train_batch(tok, prompts, answers, spec)
     rng = np.random.RandomState(0)
-    images = rng.randn(batch, 448, 448, 3).astype(np.float32)
+    img = cfg.vit.img_size
+    images = rng.randn(batch, img, img, 3).astype(np.float32)
     dev = {k: jnp.asarray(v) for k, v in text.items()}
 
     trainable, frozen = split_params(params)
@@ -97,6 +142,98 @@ def main():
         b = dict(dev)
         b["image"] = noise_fn(image_dev, jax.random.fold_in(key, i))
         return train_step(trainable, opt_state, frozen, b)
+
+    if "sweep" in sys.argv[2:]:
+        # selective-remat sweep (VERDICT r4 item 2): every variant
+        # compiled AND timed in this one process, interleaved trials.
+        # memory_analysis reports XLA's compile-time buffer plan — the
+        # apples-to-apples activation-memory axis (device memory_stats'
+        # peak is a process-lifetime high-water mark, useless after the
+        # first variant runs).
+        import dataclasses
+
+        variants = [
+            ("full", 1),      # r1-r4 behavior: save nothing
+            ("dots", 1),      # keep plain matmul outputs
+            ("dots_all", 1),  # + attention score/context dots
+            ("full", 2),      # checkpoint every 2nd block only
+            ("dots", 2),
+            ("full", 4),
+        ]
+        b0 = dict(dev)
+        b0["image"] = noise_fn(image_dev, jax.random.fold_in(key, 0))
+        jax.block_until_ready(b0["image"])
+        compiled = {}
+        temp_gb = {}
+        for pol, k in variants:
+            name = f"{pol}/k={k}"
+            vcfg = dataclasses.replace(
+                cfg,
+                llama=dataclasses.replace(
+                    cfg.llama, remat_policy=pol, remat_every=k
+                ),
+            )
+
+            def step_v(trainable, opt_state, frozen, batch_dev, _cfg=vcfg):
+                def loss_fn(tr):
+                    return minigpt4_loss(
+                        merge_params(tr, frozen), _cfg, batch_dev
+                    )
+
+                loss, grads = jax.value_and_grad(loss_fn)(trainable)
+                updates, new_opt = optimizer.update(
+                    grads, opt_state, trainable
+                )
+                return optax.apply_updates(trainable, updates), new_opt, loss
+
+            t0 = time.time()
+            try:
+                exe = (
+                    jax.jit(step_v)
+                    .lower(trainable, opt_state, frozen, b0)
+                    .compile()
+                )
+                ma = exe.memory_analysis()
+                temp_gb[name] = round(
+                    getattr(ma, "temp_size_in_bytes", 0) / 2**30, 2
+                )
+                # one untimed execution: catches runtime OOM that the
+                # buffer plan admits but the live device can't serve
+                float(exe(trainable, opt_state, frozen, b0)[2])
+                compiled[name] = exe
+                print(
+                    f"{name}: compiled in {time.time()-t0:.0f}s, "
+                    f"temp={temp_gb[name]} GB",
+                    file=sys.stderr, flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001 — record OOM/compile fail
+                temp_gb[name] = f"failed: {type(exc).__name__}"
+                print(f"{name}: FAILED {exc}", file=sys.stderr, flush=True)
+
+        times = {name: [] for name in compiled}
+        for _ in range(4):  # interleaved (one-shot TPU timings drift)
+            for name, exe in compiled.items():
+                t0 = time.time()
+                float(exe(trainable, opt_state, frozen, b0)[2])
+                times[name].append(time.time() - t0)
+        report = {
+            "metric": "train_step_remat_sweep",
+            "batch": batch,
+            "pack": pack,
+            "variants": {
+                name: {
+                    "ms": round(1000 * min(ts), 1),
+                    "temp_gb": temp_gb[name],
+                    "samples_per_sec": round(batch / min(ts), 2),
+                }
+                for name, ts in times.items()
+            },
+            "failed": {
+                n: v for n, v in temp_gb.items() if isinstance(v, str)
+            },
+        }
+        print(json.dumps(report), flush=True)
+        return
 
     t0 = time.time()
     _, _, loss = step(0)
@@ -196,7 +333,10 @@ def main():
     )
     dec_f = lc.num_layers * (seq * per_tok + 4 * seq**2 * lc.hidden_size)
     dec_f += 2 * seq * lc.hidden_size * lc.vocab_size  # full-seq lm_head
-    step_tflop = batch * (vit_f + 2 * dec_f) / 1e12  # bwd ~= fwd for dx
+    # packed rows: the ViT still encodes every image, but the decoder
+    # touches only batch/pack padded rows (the whole point of pack=K)
+    rows = batch // pack
+    step_tflop = (batch * vit_f + rows * 2 * dec_f) / 1e12  # bwd ~= fwd for dx
     peak = chip_peak_tflops(jax.devices()[0])
     print(
         json.dumps(
