@@ -153,20 +153,34 @@ def main():
         import dataclasses
 
         variants = [
-            ("full", 1),      # r1-r4 behavior: save nothing
-            ("dots", 1),      # keep plain matmul outputs
-            ("dots_all", 1),  # + attention score/context dots
-            ("full", 2),      # checkpoint every 2nd block only
-            ("dots", 2),
-            ("full", 4),
+            ("full", 1, 1),      # r1-r4 behavior: save nothing
+            ("dots", 1, 1),      # keep plain matmul outputs
+            ("dots_all", 1, 1),  # + attention score/context dots
+            ("full", 2, 1),      # checkpoint every 2nd block only
+            ("dots", 2, 1),
+            ("full", 4, 1),
+            # sequence packing (VERDICT r4 item 5) at the default remat:
+            # same 8 samples in batch/2 rows — measured against the
+            # unpacked variants in THIS process
+            ("full", 1, 2),
+            ("dots", 1, 2),
         ]
-        b0 = dict(dev)
-        b0["image"] = noise_fn(image_dev, jax.random.fold_in(key, 0))
-        jax.block_until_ready(b0["image"])
+        noisy = noise_fn(image_dev, jax.random.fold_in(key, 0))
+        jax.block_until_ready(noisy)
+        batches = {}
+        for pk in sorted({v[2] for v in variants}):
+            t = (
+                pack_train_batch(tok, prompts, answers, spec, pk)
+                if pk > 1 else build_train_batch(tok, prompts, answers, spec)
+            )
+            b = {kk: jnp.asarray(vv) for kk, vv in t.items()}
+            b["image"] = noisy
+            batches[pk] = b
         compiled = {}
         temp_gb = {}
-        for pol, k in variants:
-            name = f"{pol}/k={k}"
+        for pol, k, pk in variants:
+            name = f"{pol}/k={k}" + (f"/pack={pk}" if pk > 1 else "")
+            b0 = batches[pk]
             vcfg = dataclasses.replace(
                 cfg,
                 llama=dataclasses.replace(
@@ -200,7 +214,7 @@ def main():
                 # one untimed execution: catches runtime OOM that the
                 # buffer plan admits but the live device can't serve
                 float(exe(trainable, opt_state, frozen, b0)[2])
-                compiled[name] = exe
+                compiled[name] = (exe, b0)
                 print(
                     f"{name}: compiled in {time.time()-t0:.0f}s, "
                     f"temp={temp_gb[name]} GB",
@@ -212,9 +226,9 @@ def main():
 
         times = {name: [] for name in compiled}
         for _ in range(4):  # interleaved (one-shot TPU timings drift)
-            for name, exe in compiled.items():
+            for name, (exe, bv) in compiled.items():
                 t0 = time.time()
-                float(exe(trainable, opt_state, frozen, b0)[2])
+                float(exe(trainable, opt_state, frozen, bv)[2])
                 times[name].append(time.time() - t0)
         report = {
             "metric": "train_step_remat_sweep",
