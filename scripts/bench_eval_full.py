@@ -39,7 +39,11 @@ def main():
     parser.add_argument("--batch-sizes", type=str, default="16,32,64,96")
     parser.add_argument("--steps", type=int, default=6)
     parser.add_argument("--sigma", type=float, default=0.5)
-    parser.add_argument("--window", type=int, default=4)
+    parser.add_argument(
+        "--window", type=str, default="4",
+        help="comma list: each window size measured interleaved per "
+        "batch size (e.g. 2,4 pins the shipped default vs the table)",
+    )
     parser.add_argument("--seq-len", type=int, default=96)
     parser.add_argument("--max-new-tokens", type=int, default=10)
     parser.add_argument("--early-exit", action="store_true")
@@ -147,17 +151,19 @@ def main():
         # pipelined: window batches in flight, decode the oldest
         from collections import deque
 
-        pending = deque()
-        t0 = time.time()
-        for step in range(args.steps):
-            pending.append(run_batch(step))
-            if len(pending) > args.window:
+        results = [("sync", dt_sync)]
+        for win in [int(w) for w in args.window.split(",")]:
+            pending = deque()
+            t0 = time.time()
+            for step in range(args.steps):
+                pending.append(run_batch(step))
+                if len(pending) > win:
+                    host_decode(pending.popleft())
+            while pending:
                 host_decode(pending.popleft())
-        while pending:
-            host_decode(pending.popleft())
-        dt_pipe = time.time() - t0
+            results.append((f"pipelined(w={win})", time.time() - t0))
 
-        for name, dt in (("sync", dt_sync), ("pipelined", dt_pipe)):
+        for name, dt in results:
             n = args.steps * bs
             row = {
                 "batch_size": bs,

@@ -94,10 +94,24 @@ def main():
             "hqk,hkd->hqd", a, b, preferred_element_type=jnp.float32))
         qkpv[D] = (qk, pv, q, k, p, v)
 
-    # interleaved trials: D alternates inside one process
+    # TRULY interleaved trials: every probe warms first, then trials
+    # round-robin across all four (a sequential per-D loop let a tunnel
+    # slow patch skew one arm — observed 33.6 vs 25.0 ms for the same
+    # D=128 dot in two runs)
+    dot_fns = {}
     for D, (qk, pv, q, k, p, v) in qkpv.items():
-        probes[f"qk{D}_ms"] = round(1e3 * t_min(qk, q, k), 3)
-        probes[f"pv{D}_ms"] = round(1e3 * t_min(pv, p, v), 3)
+        dot_fns[f"qk{D}_ms"] = (qk, (q, k))
+        dot_fns[f"pv{D}_ms"] = (pv, (p, v))
+    for fn, xs in dot_fns.values():
+        _sync(fn(*xs))  # warm/compile
+    dot_times = {name: [] for name in dot_fns}
+    for _ in range(args.trials):
+        for name, (fn, xs) in dot_fns.items():
+            t0 = time.time()
+            _sync(fn(*xs))
+            dot_times[name].append(time.time() - t0)
+    for name, ts in dot_times.items():
+        probes[name] = round(1e3 * min(ts), 3)
 
     # ---- 3: qkv GEMM, padded vs exact(+repad) ------------------------
     cols_exact, cols_pad = 3 * 16 * 88, 3 * 16 * 128
