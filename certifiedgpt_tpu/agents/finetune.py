@@ -82,6 +82,20 @@ class FinetuneAgent(BaseAgent):
                 f"run.batch_size={self.batch_size} is not divisible by "
                 f"run.pack_sequences={self.pack}"
             )
+        # every packed segment gets a fixed seq_len//pack budget
+        # (data/text.pack_train_batch), so fitting bos + the image span
+        # + an answer is a CONFIG property — fail here, at setup, not
+        # data-dependently mid-epoch.
+        seg_budget = self.seq_len // self.pack
+        min_budget = 1 + self.model.cfg.num_img_tokens + 2
+        if self.pack > 1 and seg_budget < min_budget:
+            raise ValueError(
+                f"run.seq_len={self.seq_len} / run.pack_sequences="
+                f"{self.pack} leaves a {seg_budget}-token segment budget"
+                f" but bos + {self.model.cfg.num_img_tokens} image tokens"
+                f" + an answer needs {min_budget} (raise run.seq_len or"
+                f" lower run.pack_sequences)"
+            )
         self.seed = int(run.get("seed", 42))
         self.trainable_keys = tuple(
             run.get("trainable_keys", ["llama_proj"])

@@ -236,11 +236,15 @@ def pack_train_batch(
       scatters one projected image per segment.
 
     Samples keep their order: row r holds samples ``r*pack ..
-    r*pack+pack-1``. Later segments in a row see a shrinking budget;
-    oversized samples lose post-image text exactly like the unpacked
-    builder (same ``_assemble_train_sample``). The reference has no
-    counterpart (its trainer pads every sample to max_txt_len,
-    ref ``minigpt_base.py:254-318``).
+    r*pack+pack-1``. Every segment gets the same ``seq_len // pack``
+    budget — NOT whatever its predecessors left over — so whether a
+    sample fits is a pure function of the config (a long row-mate can
+    never starve a later segment into a data-dependent mid-run error),
+    and pack=K at seq_len=S truncates exactly like the unpacked builder
+    at seq_len=S/K (same ``_assemble_train_sample``). Segments still
+    pack densely: each advances by its ACTUAL length, the cap only
+    bounds it. The reference has no counterpart (its trainer pads every
+    sample to max_txt_len, ref ``minigpt_base.py:254-318``).
     """
     if pack < 1:
         raise ValueError(f"pack_sequences must be >= 1, got {pack}")
@@ -264,7 +268,7 @@ def pack_train_batch(
             inst = instructions[r * pack + j]
             ans = answers[r * pack + j]
             full, ans_start, img_off = _assemble_train_sample(
-                tokenizer, inst, ans, spec, s - cur
+                tokenizer, inst, ans, spec, s // pack
             )
             n = len(full)
             input_ids[r, cur : cur + n] = full

@@ -143,6 +143,121 @@ def main():
         b["image"] = noise_fn(image_dev, jax.random.fold_in(key, i))
         return train_step(trainable, opt_state, frozen, b)
 
+    if "bsweep" in sys.argv[2:]:
+        # batch x pack x seq sweep (r5): pack=2 halved the decoder rows
+        # and freed ~HBM headroom next to the 9.2 GB of params — does a
+        # LARGER per-step batch now raise samples/s (better ViT batch
+        # efficiency: 17.0 ms/img at B=8 vs the serving tower's
+        # 14.75 ms/img at B=100)? Every variant compiles AND times in
+        # this ONE process (interleaved trials — cross-process TPU
+        # timings drift ~5%). A bigger per-step microbatch is purely a
+        # throughput knob: grad accumulation reaches the same global
+        # batch with fewer accumulation steps.
+        variants = [
+            (8, 1, 160),   # r4 unpacked baseline
+            (8, 2, 160),   # shipped pack=2
+            (12, 2, 160),
+            (16, 2, 160),
+            (24, 2, 160),  # expected to probe the HBM ceiling
+            (12, 3, 224),  # 3x72=216 <= 224: higher fill, +40% attn/sample
+        ]
+        arms = next(
+            (a for a in sys.argv[2:] if a.startswith("arms=")), None
+        )
+        if arms:  # e.g. arms=8:2:160,12:3:224 overrides the default list
+            variants = [
+                tuple(int(x) for x in arm.split(":"))
+                for arm in arms.split("=", 1)[1].split(",")
+            ]
+        compiled = {}
+        temp_gb = {}
+        flops = {}
+        for bsz, pk, s_len in variants:
+            name = f"b={bsz}/pack={pk}/S={s_len}"
+            vspec = BatchSpec(
+                seq_len=s_len, num_img_tokens=32, max_answer_len=24
+            )
+            vprompts = [
+                f"<Img><ImageHere></Img> [vqa] what is object {i}?"
+                for i in range(bsz)
+            ]
+            vanswers = ["cat" if i % 2 == 0 else "dog" for i in range(bsz)]
+            t = (
+                pack_train_batch(tok, vprompts, vanswers, vspec, pk)
+                if pk > 1
+                else build_train_batch(tok, vprompts, vanswers, vspec)
+            )
+            bv = {kk: jnp.asarray(vv) for kk, vv in t.items()}
+            vimg = jnp.asarray(
+                rng.randn(bsz, img, img, 3).astype(np.float32)
+            )
+            bv["image"] = noise_fn(vimg, jax.random.fold_in(key, bsz))
+            jax.block_until_ready(bv["image"])
+            t0 = time.time()
+            try:
+                exe = (
+                    jax.jit(train_step)
+                    .lower(trainable, opt_state, frozen, bv)
+                    .compile()
+                )
+                ma = exe.memory_analysis()
+                temp_gb[name] = round(
+                    getattr(ma, "temp_size_in_bytes", 0) / 2**30, 2
+                )
+                float(exe(trainable, opt_state, frozen, bv)[2])
+                compiled[name] = (exe, bv, bsz)
+                flops[name] = (bsz, bsz // pk, s_len)
+                print(
+                    f"{name}: compiled in {time.time()-t0:.0f}s, "
+                    f"temp={temp_gb[name]} GB",
+                    file=sys.stderr, flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001 — record OOM
+                temp_gb[name] = f"failed: {type(exc).__name__}"
+                print(f"{name}: FAILED {exc}", file=sys.stderr, flush=True)
+
+        times = {name: [] for name in compiled}
+        for _ in range(4):
+            for name, (exe, bv, _) in compiled.items():
+                t0 = time.time()
+                float(exe(trainable, opt_state, frozen, bv)[2])
+                times[name].append(time.time() - t0)
+        v = cfg.vit
+        vit_f = v.depth * (
+            8 * v.seq_len * v.embed_dim**2
+            + 4 * v.seq_len**2 * v.embed_dim
+            + 4 * v.seq_len * v.embed_dim * v.mlp_hidden
+        )
+        lc = cfg.llama
+        per_tok = (
+            4 * lc.hidden_size**2
+            + 4 * lc.hidden_size * lc.num_kv_heads * lc.head_dim
+            + 6 * lc.hidden_size * lc.intermediate_size
+        )
+        peak = chip_peak_tflops(jax.devices()[0])
+        report_variants = {}
+        for name, ts in times.items():
+            bsz, rows, s_len = flops[name]
+            dec_f = lc.num_layers * (
+                s_len * per_tok + 4 * s_len**2 * lc.hidden_size
+            )
+            dec_f += 2 * s_len * lc.hidden_size * lc.vocab_size
+            step_tflop = (bsz * vit_f + rows * 2 * dec_f) / 1e12
+            report_variants[name] = {
+                "ms": round(1000 * min(ts), 1),
+                "temp_gb": temp_gb[name],
+                "samples_per_sec": round(bsz / min(ts), 2),
+                "mfu": round(step_tflop / min(ts) / peak, 3),
+            }
+        print(json.dumps({
+            "metric": "train_step_batch_pack_sweep",
+            "variants": report_variants,
+            "failed": {
+                n: v for n, v in temp_gb.items() if isinstance(v, str)
+            },
+        }), flush=True)
+        return
+
     if "sweep" in sys.argv[2:]:
         # selective-remat sweep (VERDICT r4 item 2): every variant
         # compiled AND timed in this one process, interleaved trials.

@@ -88,6 +88,19 @@ def test_finetune_end_to_end(tiny_run):
     assert all(np.isfinite(v) for v in history["train"])
 
 
+def test_pack_segment_budget_guard_fires_at_setup(tiny_run):
+    """seq_len//pack too small for bos+image+answer is a CONFIG error
+    raised at agent construction — never a data-dependent mid-epoch
+    crash (every packed segment gets the fixed seq_len//pack budget,
+    data/text.pack_train_batch)."""
+    config, _ = tiny_run
+    data = config.config._data
+    data["run"]["pack_sequences"] = 4
+    data["run"]["seq_len"] = 24  # 6-token segments << bos+8 img+2
+    with pytest.raises(ValueError, match="segment budget"):
+        setup_agent(config)
+
+
 def test_finetune_resume(tiny_run):
     config, tmp_path = tiny_run
     agent = setup_agent(config)

@@ -33,14 +33,11 @@ from certifiedgpt_tpu.models.minigpt4 import (
 )
 
 # short samples (~26 byte-tokens each) so even pack=4 fits the tiny
-# decoder's max_position_embeddings=128 without truncation
-INSTRUCTIONS = [
-    "<Img><ImageHere></Img>Q0?",
-    "<Img><ImageHere></Img>Q1?",
-    "<Img><ImageHere></Img>Q2?",
-    "<Img><ImageHere></Img>Q3?",
-]
-ANSWERS = ["cat", "dog", "two", "sky"]
+# decoder's max_position_embeddings=128 without truncation; 12 samples
+# so every shipped pack factor (2, 3, 4) divides the batch
+INSTRUCTIONS = [f"<Img><ImageHere></Img>Q{i}?" for i in range(12)]
+ANSWERS = ["cat", "dog", "two", "sky", "red", "one",
+           "bus", "hat", "six", "cup", "yes", "no"]
 
 
 @pytest.fixture(scope="module")
@@ -84,9 +81,10 @@ def test_pack_builder_layout():
     unpacked = build_train_batch(tok, INSTRUCTIONS, ANSWERS, spec)
     packed = pack_train_batch(tok, INSTRUCTIONS, ANSWERS, spec, 2)
 
-    assert packed["input_ids"].shape == (2, 96)
-    assert packed["img_pos"].shape == (2, 2)
-    for r in range(2):
+    rows = len(INSTRUCTIONS) // 2
+    assert packed["input_ids"].shape == (rows, 96)
+    assert packed["img_pos"].shape == (rows, 2)
+    for r in range(rows):
         cur = 0
         for j in range(2):
             i = r * 2 + j
@@ -119,6 +117,32 @@ def test_pack_builder_layout():
     np.testing.assert_array_equal(np.sort(sup_u), np.sort(sup_p))
 
 
+def test_pack_long_sample_cannot_starve_its_row_mates():
+    """Every segment gets the same seq_len//pack budget: an oversized
+    first sample truncates ITSELF (post-image text, loud warning) and
+    its row-mates are assembled untouched — whether a config fits is
+    never a function of the data."""
+    tok = ByteTokenizer()
+    spec = BatchSpec(seq_len=96, num_img_tokens=4, max_answer_len=16)
+    long_q = "<Img><ImageHere></Img>" + "why? " * 40  # >> 48-slot budget
+    packed = pack_train_batch(
+        tok, [long_q, INSTRUCTIONS[1]], [ANSWERS[0], ANSWERS[1]], spec, 2
+    )
+    # segment 1 is capped at 48 slots; segment 2 is the full short sample
+    seg1 = packed["segment_ids"][0] == 1
+    seg2 = packed["segment_ids"][0] == 2
+    assert seg1.sum() == 48
+    ref = build_train_batch(tok, INSTRUCTIONS[1:2], ANSWERS[1:2], spec)
+    n = int(ref["attention_mask"][0].sum())
+    assert seg2.sum() == n
+    np.testing.assert_array_equal(
+        packed["input_ids"][0][seg2], ref["input_ids"][0, :n]
+    )
+    # the long sample's supervised answer survives its own truncation
+    sup1 = packed["labels"][0][seg1]
+    assert (sup1 != IGNORE_INDEX).sum() > 0
+
+
 def test_pack_builder_rejects_bad_shapes():
     tok = ByteTokenizer()
     spec = BatchSpec(seq_len=96, num_img_tokens=4, max_answer_len=16)
@@ -132,7 +156,7 @@ def test_pack_builder_rejects_bad_shapes():
         pack_train_batch(tok, INSTRUCTIONS[:2], ANSWERS[:2], tight, 2)
 
 
-@pytest.mark.parametrize("pack", [2, 4])
+@pytest.mark.parametrize("pack", [2, 3, 4])
 def test_packed_loss_matches_unpacked(tiny_fp32, pack):
     """The packed forward must reproduce the unpacked loss on the same
     samples: same supervised tokens, per-segment positions, block-
