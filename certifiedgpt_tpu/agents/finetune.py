@@ -96,6 +96,29 @@ class FinetuneAgent(BaseAgent):
                 f" + an answer needs {min_budget} (raise run.seq_len or"
                 f" lower run.pack_sequences)"
             )
+        max_pos = int(self.model.cfg.llama.max_position_embeddings)
+        if self.pack > 1 and seg_budget > max_pos:
+            raise ValueError(
+                f"run.seq_len={self.seq_len} / run.pack_sequences="
+                f"{self.pack} = a {seg_budget}-token segment budget, "
+                f"past the decoder's max_position_embeddings={max_pos} "
+                f"rotary table — per-segment positions would silently "
+                f"NaN (raise model.max_position_embeddings or pack more)"
+            )
+        # the packed text arrays have batch/pack rows and shard over the
+        # mesh 'data' axis like everything else (data/loader.shard_batch)
+        # — catch a non-divisible row count here instead of letting
+        # step 1 die on a misleading 'batch_size must be a multiple of
+        # the device count' (batch_size itself already is)
+        n_data = int(self.mesh.shape["data"])
+        rows = self.batch_size // self.pack
+        if self.pack > 1 and rows % n_data:
+            raise ValueError(
+                f"run.batch_size={self.batch_size} / run.pack_sequences="
+                f"{self.pack} = {rows} packed rows, which does not "
+                f"divide the mesh data axis ({n_data}); pick batch_size "
+                f"so batch_size/pack_sequences is a multiple of it"
+            )
         self.seed = int(run.get("seed", 42))
         self.trainable_keys = tuple(
             run.get("trainable_keys", ["llama_proj"])

@@ -232,6 +232,20 @@ def minigpt4_loss(
         img_embeds = encode_img(params, cfg, batch["image"])
     if "segment_ids" in batch:
         rows, k = batch["img_pos"].shape
+        seg_budget = batch["input_ids"].shape[1] // k
+        if seg_budget > cfg.llama.max_position_embeddings:
+            # per-segment rotary positions restart at 0 but are only
+            # bounded by the fixed seq_len//pack segment budget
+            # (data/text.pack_train_batch) — past the rotary table,
+            # jnp.take's fill mode silently NaNs, so fail loud at trace
+            # time exactly like the unpacked branch below
+            raise ValueError(
+                f"run.seq_len//pack_sequences={seg_budget} exceeds the "
+                f"decoder's max_position_embeddings="
+                f"{cfg.llama.max_position_embeddings}; packed per-"
+                f"segment rotary positions past the table would "
+                f"silently NaN"
+            )
         embeds = assemble_packed_embeds(
             params, cfg, batch["input_ids"],
             img_embeds.reshape(rows, k, *img_embeds.shape[1:]),
@@ -247,8 +261,9 @@ def minigpt4_loss(
         )
         if embeds.shape[1] > cfg.llama.max_position_embeddings:
             # jnp.take's fill mode would silently NaN every position past
-            # the rotary table — fail loud at trace time instead (packed
-            # rows are exempt: their per-segment positions restart at 0)
+            # the rotary table — fail loud at trace time instead (the
+            # packed branch above checks its seq_len//pack segment
+            # budget against the same bound)
             raise ValueError(
                 f"run.seq_len={embeds.shape[1]} exceeds the decoder's "
                 f"max_position_embeddings="

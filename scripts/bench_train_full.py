@@ -25,6 +25,70 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+def _train_step_tflops(cfg, batch, rows, s_len):
+    """Analytic step TFLOPs: ViT fwd on every image + decoder fwd and
+    activation-backward (dx only, bwd ~= fwd — only llama_proj trains)
+    on the ``rows`` packed rows, plus the full-sequence lm_head. The
+    ONE place this formula lives; the sweep modes and the headline all
+    report through it."""
+    v = cfg.vit
+    vit_f = v.depth * (
+        8 * v.seq_len * v.embed_dim**2
+        + 4 * v.seq_len**2 * v.embed_dim
+        + 4 * v.seq_len * v.embed_dim * v.mlp_hidden
+    )
+    lc = cfg.llama
+    per_tok = (
+        4 * lc.hidden_size**2
+        + 4 * lc.hidden_size * lc.num_kv_heads * lc.head_dim
+        + 6 * lc.hidden_size * lc.intermediate_size
+    )
+    dec_f = lc.num_layers * (s_len * per_tok + 4 * s_len**2 * lc.hidden_size)
+    dec_f += 2 * s_len * lc.hidden_size * lc.vocab_size  # full-seq lm_head
+    return (batch * vit_f + rows * 2 * dec_f) / 1e12
+
+
+def _compile_and_time(jobs, trials=4):
+    """Shared sweep machinery: ``jobs`` maps a variant name to
+    ``(step_fn, args)`` where ``step_fn(*args)`` returns ``(..., loss)``.
+    Each variant is lowered+compiled (``memory_analysis`` temp bytes =
+    XLA's compile-time buffer plan, the apples-to-apples activation
+    axis) and executed once untimed — catching runtime OOM the plan
+    admits but the live device can't serve — then every survivor is
+    timed in interleaved round-robin ``trials``: one-shot TPU timings
+    drift ~5% across processes, so all arms MUST share this one.
+    Returns ``(times, temp_gb)``; failures land in ``temp_gb`` as
+    ``'failed: <ExcName>'`` strings."""
+    import jax
+
+    compiled, temp_gb = {}, {}
+    for name, (fn, args) in jobs.items():
+        t0 = time.time()
+        try:
+            exe = jax.jit(fn).lower(*args).compile()
+            ma = exe.memory_analysis()
+            temp_gb[name] = round(
+                getattr(ma, "temp_size_in_bytes", 0) / 2**30, 2
+            )
+            float(exe(*args)[2])
+            compiled[name] = (exe, args)
+            print(
+                f"{name}: compiled in {time.time()-t0:.0f}s, "
+                f"temp={temp_gb[name]} GB",
+                file=sys.stderr, flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — record OOM/compile fail
+            temp_gb[name] = f"failed: {type(exc).__name__}"
+            print(f"{name}: FAILED {exc}", file=sys.stderr, flush=True)
+    times = {name: [] for name in compiled}
+    for _ in range(trials):
+        for name, (exe, args) in compiled.items():
+            t0 = time.time()
+            float(exe(*args)[2])
+            times[name].append(time.time() - t0)
+    return times, temp_gb
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     aq = "aq" in sys.argv[2:]
@@ -169,9 +233,7 @@ def main():
                 tuple(int(x) for x in arm.split(":"))
                 for arm in arms.split("=", 1)[1].split(",")
             ]
-        compiled = {}
-        temp_gb = {}
-        flops = {}
+        jobs, shapes = {}, {}
         for bsz, pk, s_len in variants:
             name = f"b={bsz}/pack={pk}/S={s_len}"
             vspec = BatchSpec(
@@ -193,56 +255,15 @@ def main():
             )
             bv["image"] = noise_fn(vimg, jax.random.fold_in(key, bsz))
             jax.block_until_ready(bv["image"])
-            t0 = time.time()
-            try:
-                exe = (
-                    jax.jit(train_step)
-                    .lower(trainable, opt_state, frozen, bv)
-                    .compile()
-                )
-                ma = exe.memory_analysis()
-                temp_gb[name] = round(
-                    getattr(ma, "temp_size_in_bytes", 0) / 2**30, 2
-                )
-                float(exe(trainable, opt_state, frozen, bv)[2])
-                compiled[name] = (exe, bv, bsz)
-                flops[name] = (bsz, bsz // pk, s_len)
-                print(
-                    f"{name}: compiled in {time.time()-t0:.0f}s, "
-                    f"temp={temp_gb[name]} GB",
-                    file=sys.stderr, flush=True,
-                )
-            except Exception as exc:  # noqa: BLE001 — record OOM
-                temp_gb[name] = f"failed: {type(exc).__name__}"
-                print(f"{name}: FAILED {exc}", file=sys.stderr, flush=True)
+            jobs[name] = (train_step, (trainable, opt_state, frozen, bv))
+            shapes[name] = (bsz, bsz // pk, s_len)
 
-        times = {name: [] for name in compiled}
-        for _ in range(4):
-            for name, (exe, bv, _) in compiled.items():
-                t0 = time.time()
-                float(exe(trainable, opt_state, frozen, bv)[2])
-                times[name].append(time.time() - t0)
-        v = cfg.vit
-        vit_f = v.depth * (
-            8 * v.seq_len * v.embed_dim**2
-            + 4 * v.seq_len**2 * v.embed_dim
-            + 4 * v.seq_len * v.embed_dim * v.mlp_hidden
-        )
-        lc = cfg.llama
-        per_tok = (
-            4 * lc.hidden_size**2
-            + 4 * lc.hidden_size * lc.num_kv_heads * lc.head_dim
-            + 6 * lc.hidden_size * lc.intermediate_size
-        )
+        times, temp_gb = _compile_and_time(jobs)
         peak = chip_peak_tflops(jax.devices()[0])
         report_variants = {}
         for name, ts in times.items():
-            bsz, rows, s_len = flops[name]
-            dec_f = lc.num_layers * (
-                s_len * per_tok + 4 * s_len**2 * lc.hidden_size
-            )
-            dec_f += 2 * s_len * lc.hidden_size * lc.vocab_size
-            step_tflop = (bsz * vit_f + rows * 2 * dec_f) / 1e12
+            bsz, rows, s_len = shapes[name]
+            step_tflop = _train_step_tflops(cfg, bsz, rows, s_len)
             report_variants[name] = {
                 "ms": round(1000 * min(ts), 1),
                 "temp_gb": temp_gb[name],
@@ -291,8 +312,7 @@ def main():
             b = {kk: jnp.asarray(vv) for kk, vv in t.items()}
             b["image"] = noisy
             batches[pk] = b
-        compiled = {}
-        temp_gb = {}
+        jobs = {}
         for pol, k, pk in variants:
             name = f"{pol}/k={k}" + (f"/pack={pk}" if pk > 1 else "")
             b0 = batches[pk]
@@ -315,36 +335,9 @@ def main():
                 )
                 return optax.apply_updates(trainable, updates), new_opt, loss
 
-            t0 = time.time()
-            try:
-                exe = (
-                    jax.jit(step_v)
-                    .lower(trainable, opt_state, frozen, b0)
-                    .compile()
-                )
-                ma = exe.memory_analysis()
-                temp_gb[name] = round(
-                    getattr(ma, "temp_size_in_bytes", 0) / 2**30, 2
-                )
-                # one untimed execution: catches runtime OOM that the
-                # buffer plan admits but the live device can't serve
-                float(exe(trainable, opt_state, frozen, b0)[2])
-                compiled[name] = (exe, b0)
-                print(
-                    f"{name}: compiled in {time.time()-t0:.0f}s, "
-                    f"temp={temp_gb[name]} GB",
-                    file=sys.stderr, flush=True,
-                )
-            except Exception as exc:  # noqa: BLE001 — record OOM/compile fail
-                temp_gb[name] = f"failed: {type(exc).__name__}"
-                print(f"{name}: FAILED {exc}", file=sys.stderr, flush=True)
+            jobs[name] = (step_v, (trainable, opt_state, frozen, b0))
 
-        times = {name: [] for name in compiled}
-        for _ in range(4):  # interleaved (one-shot TPU timings drift)
-            for name, (exe, bv) in compiled.items():
-                t0 = time.time()
-                float(exe(trainable, opt_state, frozen, bv)[2])
-                times[name].append(time.time() - t0)
+        times, temp_gb = _compile_and_time(jobs)
         report = {
             "metric": "train_step_remat_sweep",
             "batch": batch,
@@ -447,25 +440,9 @@ def main():
     float(loss)
     dt = (time.time() - t0) / reps
 
-    # analytic step FLOPs: ViT fwd + decoder fwd + decoder activation bwd
-    v = cfg.vit
-    vit_f = v.depth * (
-        8 * v.seq_len * v.embed_dim**2
-        + 4 * v.seq_len**2 * v.embed_dim
-        + 4 * v.seq_len * v.embed_dim * v.mlp_hidden
-    )
-    lc = cfg.llama
-    per_tok = (
-        4 * lc.hidden_size**2
-        + 4 * lc.hidden_size * lc.num_kv_heads * lc.head_dim
-        + 6 * lc.hidden_size * lc.intermediate_size
-    )
-    dec_f = lc.num_layers * (seq * per_tok + 4 * seq**2 * lc.hidden_size)
-    dec_f += 2 * seq * lc.hidden_size * lc.vocab_size  # full-seq lm_head
     # packed rows: the ViT still encodes every image, but the decoder
     # touches only batch/pack padded rows (the whole point of pack=K)
-    rows = batch // pack
-    step_tflop = (batch * vit_f + rows * 2 * dec_f) / 1e12  # bwd ~= fwd for dx
+    step_tflop = _train_step_tflops(cfg, batch, batch // pack, seq)
     peak = chip_peak_tflops(jax.devices()[0])
     print(
         json.dumps(

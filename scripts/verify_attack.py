@@ -76,9 +76,19 @@ def compare_summary(
             name: {sig: rate}
             for name, rate in summary["success_rate_per_backbone"].items()
         }
+    # sigma cells are keyed by str() of whatever the config carried —
+    # a YAML `sigma_grid: [0, 1]` yields '0'/'1' while the baseline
+    # table uses '0.0'/'1.0'. Normalize BOTH sides through str(float())
+    # so a formatting mismatch can't silently downgrade cells to
+    # 'skipped' while the report still says ok.
+    grid = {
+        name: {str(float(s)): r for s, r in row.items()}
+        for name, row in grid.items()
+    }
     cells, skipped = [], []
     for name, ref_row in baseline.items():
         for sig, ref_rate in ref_row.items():
+            sig = str(float(sig))
             measured = (grid.get(name) or {}).get(sig)
             cell = {
                 "backbone": name,

@@ -101,6 +101,23 @@ def test_pack_segment_budget_guard_fires_at_setup(tiny_run):
         setup_agent(config)
 
 
+def test_pack_rotary_and_row_divisibility_guards_fire_at_setup(tiny_run):
+    """Two more packed-config properties validated at construction:
+    seq_len//pack must fit the decoder's rotary table (silent-NaN
+    otherwise), and batch/pack rows must divide the mesh data axis
+    (shard_batch would die at step 1 with a misleading message)."""
+    config, _ = tiny_run
+    data = config.config._data
+    data["run"]["pack_sequences"] = 2
+    data["run"]["seq_len"] = 320  # 160-token segments > tiny's 128 table
+    with pytest.raises(ValueError, match="rotary"):
+        setup_agent(config)
+    data["run"]["seq_len"] = 64
+    data["run"]["pack_sequences"] = 4  # 8/4 = 2 rows < 8 cpu devices
+    with pytest.raises(ValueError, match="mesh data axis"):
+        setup_agent(config)
+
+
 def test_finetune_resume(tiny_run):
     config, tmp_path = tiny_run
     agent = setup_agent(config)

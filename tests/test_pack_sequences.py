@@ -143,6 +143,19 @@ def test_pack_long_sample_cannot_starve_its_row_mates():
     assert (sup1 != IGNORE_INDEX).sum() > 0
 
 
+def test_packed_rotary_overflow_fails_loud(tiny_fp32):
+    """seq_len//pack past the rotary table must raise at trace time —
+    per-segment positions restart at 0 but are bounded only by the
+    seq_len//pack segment budget, and jnp.take's fill mode would
+    otherwise silently NaN the loss (the unpacked branch has the same
+    guard on seq_len itself)."""
+    cfg, params = tiny_fp32
+    max_pos = cfg.llama.max_position_embeddings
+    _, packed = _batches(cfg, pack=2, seq_len=2 * (max_pos + 16))
+    with pytest.raises(ValueError, match="max_position_embeddings"):
+        minigpt4_loss(params, cfg, packed)
+
+
 def test_pack_builder_rejects_bad_shapes():
     tok = ByteTokenizer()
     spec = BatchSpec(seq_len=96, num_img_tokens=4, max_answer_len=16)

@@ -46,6 +46,24 @@ def test_compare_summary_within_tolerance_passes():
     assert report["ancova"]["status"] == "ok"
 
 
+def test_compare_summary_normalizes_sigma_key_formatting():
+    """A config written `sigma_grid: [0, 1]` keys its cells '0'/'1'
+    while the baseline table uses '0.0'/'1.0' — the comparison must
+    normalize both sides instead of silently skipping those columns."""
+    grid = {
+        name: {
+            ("0" if sig == "0.0" else "1" if sig == "1.0" else sig):
+                rate + 0.02
+            for sig, rate in row.items()
+        }
+        for name, row in va.BASELINE_ASR.items()
+    }
+    report = va.compare_summary(_summary(grid), tol=0.05)
+    assert report["ok"], report
+    assert report["checked"] == 20
+    assert report["skipped"] == 0
+
+
 def test_compare_summary_flags_out_of_tolerance_cell():
     grid = {
         name: dict(row) for name, row in va.BASELINE_ASR.items()
