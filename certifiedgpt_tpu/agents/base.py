@@ -38,11 +38,22 @@ class BaseAgent:
         # a slice). 0/absent auto-detects from device slice_index, so a
         # real multislice job gets the hybrid mesh without config changes.
         n_dcn = int(self.run_cfg.get("dcn_parallel", 0)) or None
-        self.mesh = make_mesh(n_model=n_model, n_dcn=n_dcn)
+        # run.pipeline_parallel: GPipe decoder pipeline over a leading
+        # 'pipe' axis (parallel/pipeline.py; training-forward only)
+        n_pipe = int(self.run_cfg.get("pipeline_parallel", 1))
+        if n_pipe > 1 and n_model > 1:
+            raise ValueError(
+                "pipeline_parallel x model_parallel composition is not "
+                "wired in the agents yet (the pipeline replicates "
+                "lm_head/norm; see parallel/pipeline.py) — pick one"
+            )
+        self.mesh = make_mesh(n_model=n_model, n_dcn=n_dcn, n_pipe=n_pipe)
 
         self.model = self.build_model()
         if self.mesh.shape.get("model", 1) > 1:
             self._shard_model_params()
+        if self.mesh.shape.get("pipe", 1) > 1:
+            self._shard_model_params_pipeline()
         self.loss_history: Dict[str, list] = {"train": [], "val": []}
 
     def _shard_model_params(self) -> None:
@@ -61,6 +72,38 @@ class BaseAgent:
                 "to shard — remove the knob or add a partitioning rule"
             )
         params["llama"] = partition_llama(params["llama"], self.mesh)
+        sharding = replicated(self.mesh)
+        for key in list(params.keys()):
+            if key != "llama":
+                params[key] = jax.tree.map(
+                    lambda x: jax.device_put(x, sharding), params[key]
+                )
+
+    def _shard_model_params_pipeline(self) -> None:
+        """run.pipeline_parallel > 1: shard the decoder's stacked layer
+        weights over the ``pipe`` stages (each stage holds L/P blocks —
+        the HBM point of pp) and replicate everything else."""
+        from certifiedgpt_tpu.parallel.mesh import replicated
+        from certifiedgpt_tpu.parallel.pipeline import (
+            partition_llama_pipeline,
+        )
+
+        params = self.model.params
+        if "llama" not in params:
+            raise ValueError(
+                "run.pipeline_parallel applies to the LLaMA decoder "
+                f"tower; model arch '{self.config.arch}' has no 'llama' "
+                "params to stage"
+            )
+        n_pipe = int(self.mesh.shape["pipe"])
+        if self.model.cfg.llama.num_layers % n_pipe:
+            raise ValueError(
+                f"model.num_layers={self.model.cfg.llama.num_layers} "
+                f"does not divide into pipeline_parallel={n_pipe} stages"
+            )
+        params["llama"] = partition_llama_pipeline(
+            params["llama"], self.mesh
+        )
         sharding = replicated(self.mesh)
         for key in list(params.keys()):
             if key != "llama":

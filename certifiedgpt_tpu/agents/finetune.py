@@ -119,6 +119,28 @@ class FinetuneAgent(BaseAgent):
                 f"divide the mesh data axis ({n_data}); pick batch_size "
                 f"so batch_size/pack_sequences is a multiple of it"
             )
+        # run.pipeline_parallel: route the decoder forward through the
+        # GPipe pipeline (parallel/pipeline.py). run.pipeline_microbatches
+        # (default 2 x stages — bubble (P-1)/(M+P-1)) must divide the
+        # decoder row count, and each microbatch the data axis.
+        self.n_pipe = int(self.mesh.shape.get("pipe", 1))
+        self.n_micro = (
+            int(run.get("pipeline_microbatches", 2 * self.n_pipe))
+            if self.n_pipe > 1 else 1
+        )
+        if self.n_pipe > 1:
+            if rows % self.n_micro:
+                raise ValueError(
+                    f"{rows} decoder rows (batch_size/pack_sequences) do "
+                    f"not divide into run.pipeline_microbatches="
+                    f"{self.n_micro}"
+                )
+            if (rows // self.n_micro) % n_data:
+                raise ValueError(
+                    f"a {rows // self.n_micro}-row microbatch does not "
+                    f"divide the mesh data axis ({n_data}); lower "
+                    f"run.pipeline_microbatches or the data degree"
+                )
         self.seed = int(run.get("seed", 42))
         self.trainable_keys = tuple(
             run.get("trainable_keys", ["llama_proj"])
@@ -171,10 +193,39 @@ class FinetuneAgent(BaseAgent):
             return None
 
     # ------------------------------------------------------------------
-    def _build_train_step(self):
+    def _loss_fn(self, n_micro=None):
+        """The (packed-or-unpacked) loss callable this run trains with:
+        the sequential decoder, or the GPipe pipeline when the mesh has
+        pipe stages (identical supervision — parity-tested in
+        tests/test_pipeline_parallel.py). ``n_micro`` overrides the
+        microbatch count (validation uses 1: its padded tail batches
+        have data-dependent sizes that need not divide the train
+        setting — a single microbatch always divides)."""
         cfg = self.model.cfg
+        if self.n_pipe > 1:
+            from certifiedgpt_tpu.parallel.pipeline import (
+                pipeline_minigpt4_loss,
+            )
+
+            mesh = self.mesh
+            n_micro = self.n_micro if n_micro is None else n_micro
+
+            def loss(params, batch, reduction="mean"):
+                return pipeline_minigpt4_loss(
+                    params, cfg, batch, mesh, n_micro, reduction=reduction
+                )
+
+            return loss
+
+        def loss(params, batch, reduction="mean"):
+            return minigpt4_loss(params, cfg, batch, reduction=reduction)
+
+        return loss
+
+    def _build_train_step(self):
         optimizer = self.optimizer
         noise_level, noise_dist = self.noise_level, self.noise_dist
+        loss_of = self._loss_fn()
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(trainable, opt_state, frozen, batch, rng):
@@ -184,7 +235,7 @@ class FinetuneAgent(BaseAgent):
             )
 
             def loss_fn(tr):
-                return minigpt4_loss(merge_params(tr, frozen), cfg, batch)
+                return loss_of(merge_params(tr, frozen), batch)
 
             loss, grads = jax.value_and_grad(loss_fn)(trainable)
             updates, opt_state = optimizer.update(grads, opt_state, trainable)
@@ -194,8 +245,8 @@ class FinetuneAgent(BaseAgent):
         return train_step
 
     def _build_eval_step(self):
-        cfg = self.model.cfg
         noise_level, noise_dist = self.noise_level, self.noise_dist
+        loss_of = self._loss_fn(n_micro=1)
 
         @jax.jit
         def eval_step(trainable, frozen, batch, valid, rng):
@@ -208,9 +259,8 @@ class FinetuneAgent(BaseAgent):
             # early-stop signal: per-sample losses masked by ``valid``,
             # returned as two REPLICATED scalars (a per-sample array
             # would not be host-convertible under multi-process SPMD)
-            losses = minigpt4_loss(
-                merge_params(trainable, frozen), cfg, batch,
-                reduction="none",
+            losses = loss_of(
+                merge_params(trainable, frozen), batch, reduction="none"
             )
             v = valid.astype(losses.dtype)
             return jnp.sum(losses * v), jnp.sum(v)

@@ -47,6 +47,7 @@ def make_mesh(
     n_model: int = 1,
     devices: Optional[Sequence] = None,
     n_dcn: Optional[int] = 1,
+    n_pipe: int = 1,
 ) -> Mesh:
     """Build the device mesh.
 
@@ -56,10 +57,38 @@ def make_mesh(
     or split contiguously (virtual CPU meshes), so the ``data``/``model``
     axes never straddle a DCN link. ``n_dcn=None`` auto-detects from
     ``slice_index``.
+
+    ``n_pipe>1`` adds a leading ``pipe`` axis for the GPipe decoder
+    pipeline (``parallel/pipeline.py``): contiguous device blocks become
+    stages, so the per-tick ``ppermute`` rides neighboring ICI links.
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_dcn is None:
         n_dcn = detect_num_slices(devices)
+    if n_pipe > 1:
+        if n_dcn > 1:
+            raise ValueError(
+                "pipeline_parallel across DCN slices is not supported: "
+                "per-tick activation transfers must ride ICI, not the "
+                "10x-slower DCN (pick one of dcn_parallel/pipeline_parallel)"
+            )
+        if len(devices) % n_pipe:
+            raise ValueError(
+                f"{len(devices)} devices do not divide into "
+                f"pipeline_parallel={n_pipe} stages"
+            )
+        per_stage = len(devices) // n_pipe
+        if per_stage % n_model:
+            raise ValueError(
+                f"{per_stage} devices per pipeline stage do not divide "
+                f"into model_parallel={n_model}"
+            )
+        if n_data is None:
+            n_data = per_stage // n_model
+        grid = np.asarray(devices[: n_pipe * n_data * n_model]).reshape(
+            n_pipe, n_data, n_model
+        )
+        return Mesh(grid, ("pipe", "data", "model"))
     if n_dcn <= 1:
         if n_data is None:
             if len(devices) % n_model:

@@ -88,6 +88,41 @@ def test_finetune_end_to_end(tiny_run):
     assert all(np.isfinite(v) for v in history["train"])
 
 
+def test_pipeline_parallel_finetune_end_to_end(tiny_run):
+    """run.pipeline_parallel=2 must actually stage the decoder layers
+    over the 'pipe' mesh axis and train end-to-end (GPipe schedule,
+    parallel/pipeline.py) — loss finite, checkpoints written."""
+    from jax.sharding import PartitionSpec as P
+
+    config, tmp_path = tiny_run
+    data = config.config._data
+    data["run"]["pipeline_parallel"] = 2
+    data["run"]["pipeline_microbatches"] = 2
+    data["run"]["max_epoch"] = 1
+    data["run"]["iters_per_epoch"] = 1
+    agent = setup_agent(config)
+    assert agent.mesh.shape["pipe"] == 2
+    spec = agent.model.params["llama"]["layers"]["q_proj"]["kernel"].sharding.spec
+    assert spec == P("pipe")
+    result = agent.run()
+    assert result["steps"] == 1
+    assert np.isfinite(result["best_val"])
+    assert (tmp_path / "out" / "test_ckpt_best.npz").exists()
+
+
+def test_pipeline_parallel_guards_fire_at_setup(tiny_run):
+    config, _ = tiny_run
+    data = config.config._data
+    data["run"]["pipeline_parallel"] = 2
+    data["run"]["pipeline_microbatches"] = 3  # 8 rows % 3 != 0
+    with pytest.raises(ValueError, match="microbatches"):
+        setup_agent(config)
+    data["run"]["pipeline_microbatches"] = 2
+    data["run"]["model_parallel"] = 2
+    with pytest.raises(ValueError, match="pick one"):
+        setup_agent(config)
+
+
 def test_pack_segment_budget_guard_fires_at_setup(tiny_run):
     """seq_len//pack too small for bos+image+answer is a CONFIG error
     raised at agent construction — never a data-dependent mid-epoch
